@@ -1,0 +1,167 @@
+"""CDC replay: ordered, deduplicated, delete-aware application of a
+binlog/WAL-style change log onto a LakeTable.
+
+Semantics (transcribed from the reference, re-expressed Spark-first):
+- latest event per key wins — the reference's
+  ``row_number() OVER (PARTITION BY key ORDER BY recency DESC) … rn=1``
+  (``omicidx_etl/sql/010_raw_to_parquet.sql:36-43``);
+- deletes are tombstones — ``WHERE delete IS NOT TRUE``
+  (``omicidx_etl/sql/010_raw_to_parquet.sql:341``);
+- replay is idempotent/resumable — done-marker skip guards
+  (``omicidx_etl/sra/catalog.py:291-297``) become the LakeTable's atomic
+  per-app batch watermark.
+
+Dedup strategies
+----------------
+``max_by`` (default): ``groupBy(key).agg(max_by(struct(*), seq))``.
+  Hash aggregation with **map-side partial combine** — every hot key is
+  pre-reduced inside each input partition before the shuffle, so Zipf-hot
+  keys never concentrate on one reducer. This is the skew answer for the
+  dedup stage: salting is built into the execution model (partial agg ≡
+  per-partition salt + final reduce) without a second shuffle.
+``window``: the literal transcription of the reference's W1 (row_number).
+  Correct but shuffles *all* events of a hot key to one task — kept for
+  parity testing and to demonstrate the skew difference in the bench.
+``salted_window``: two-phase explicit salt — window over (key, salt) then
+  final max_by over key. Useful when the payload is too wide for an
+  aggregation buffer; shown in the bench for the north rule's
+  "salted repartitioning" evidence.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omicidx_etl_spark.lake.table import LakeTable
+
+DEFAULT_SALT = 16
+
+
+def dedup_latest(
+    changes: DataFrame,
+    key: str = "doc_id",
+    seq: str = "seq",
+    method: str = "max_by",
+    n_salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Collapse a change set to the single latest event per key.
+
+    ``seq`` must be a total order (unique); ties are impossible by contract
+    (a WAL LSN). Output columns == input columns.
+    """
+    cols = changes.columns
+    payload = [c for c in cols if c != key]
+    if method == "max_by":
+        row = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq)).alias("__r")
+        agg = changes.groupBy(key).agg(row)
+        return agg.select(key, *[F.col(f"__r.{c}").alias(c) for c in payload]).select(*cols)
+    if method == "window":
+        w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+        return (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if method == "salted_window":
+        salt = F.pmod(F.xxhash64(F.col(seq)), F.lit(n_salt))
+        w = Window.partitionBy(key, "__salt").orderBy(F.col(seq).desc())
+        local = (
+            changes.withColumn("__salt", salt)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__salt")
+        )
+        return dedup_latest(local, key=key, seq=seq, method="max_by")
+    raise ValueError(f"unknown dedup method {method!r}")
+
+
+def replay_batch(
+    table: LakeTable,
+    changes: DataFrame,
+    batch_id: int,
+    app_id: str = "replay",
+    key: str | None = None,
+    seq: str = "seq",
+    op_col: str = "op",
+    delete_value: str = "D",
+    dedup_method: str = "max_by",
+    lineage: "LineageLog | None" = None,
+) -> dict[str, Any]:
+    """Apply one micro-batch of change events to the table, exactly once.
+
+    Returns the committed snapshot dict (or the skipped marker if this
+    (app_id, batch_id) is already in the table's transaction watermark).
+    """
+    key = key or table.key
+    t0 = time.time()
+    stats_row = changes.select(
+        F.count(F.lit(1)).alias("event_count"),
+        F.min(seq).alias("seq_lo"),
+        F.max(seq).alias("seq_hi"),
+        F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("delete_events"),
+    ).first()
+    latest = dedup_latest(changes, key=key, seq=seq, method=dedup_method)
+    snap = table.merge(
+        latest,
+        op_col=op_col,
+        delete_value=delete_value,
+        app_id=app_id,
+        batch_id=batch_id,
+        extra_summary={
+            "event_count": int(stats_row["event_count"] or 0),
+            "seq_lo": int(stats_row["seq_lo"]) if stats_row["seq_lo"] is not None else None,
+            "seq_hi": int(stats_row["seq_hi"]) if stats_row["seq_hi"] is not None else None,
+            "delete_events": int(stats_row["delete_events"] or 0),
+        },
+    )
+    if lineage is not None:
+        lineage.record(
+            app_id=app_id,
+            batch_id=batch_id,
+            snapshot=snap,
+            duration_s=time.time() - t0,
+        )
+    return snap
+
+
+def replay_log(
+    spark: SparkSession,
+    table: LakeTable,
+    log_path: str,
+    chunk_events: int = 1_000_000,
+    app_id: str = "replay",
+    seq: str = "seq",
+    dedup_method: str = "max_by",
+    lineage: "LineageLog | None" = None,
+    max_batches: int | None = None,
+) -> list[dict[str, Any]]:
+    """Batch-replay a parquet change log in ordered seq-range micro-batches.
+
+    Resumable: batch i covers seq range (i*chunk, (i+1)*chunk]; the table's
+    per-app watermark skips already-committed batches, and the seq-range
+    predicate prunes parquet row groups (the log is range-partitioned by seq
+    — see ``datagen.write_change_log``), so resume does not rescan history.
+    """
+    log = spark.read.parquet(log_path)
+    bounds = log.select(F.max(seq).alias("hi")).first()
+    hi = bounds["hi"] or 0
+    n_batches = (hi + chunk_events - 1) // chunk_events
+    done = table.committed_batch(app_id)
+    snaps = []
+    start = (done + 1) if done is not None else 0
+    for b in range(start, n_batches):
+        if max_batches is not None and len(snaps) >= max_batches:
+            break
+        lo, up = b * chunk_events, (b + 1) * chunk_events
+        batch = log.filter((F.col(seq) > lo) & (F.col(seq) <= up))
+        snaps.append(
+            replay_batch(
+                table, batch, batch_id=b, app_id=app_id, seq=seq,
+                dedup_method=dedup_method, lineage=lineage,
+            )
+        )
+    return snaps

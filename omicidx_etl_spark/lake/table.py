@@ -1,0 +1,450 @@
+"""LakeTable — a minimal snapshot/manifest table format over key-bucketed
+parquet, providing the Iceberg capabilities the engine needs (the Iceberg
+runtime jar is unavailable offline; this keeps the identical semantics and a
+swap-compatible API):
+
+- **Atomic commits**: immutable data files + snapshot JSON + an atomically
+  replaced pointer file. Readers resolve the pointer → snapshot → exact file
+  list, so reads are snapshot-isolated and a crashed writer leaves only
+  unreferenced orphan files (never a partially-visible commit).
+- **Idempotent batch guard** (exactly-once sink): each commit may carry
+  ``(app_id, batch_id)``; the snapshot stores the high-water batch id per
+  app. Re-merging an already-committed micro-batch is a no-op — the Spark
+  analogue of the reference's done-marker skip guard
+  (``omicidx_etl/sra/catalog.py:291-297``) but atomic *with* the data,
+  fixing the reference's marker-after-data race (``catalog.py:309-320``).
+- **Key bucketing + pruning**: rows hash to ``pmod(xxhash64(key), n_buckets)``;
+  each bucket is rewritten copy-on-write as a whole. A merge touching k
+  buckets reads and rewrites only those buckets — at 100 TB with ~1 GB
+  buckets this bounds both the scan and the write amplification, and the
+  merge join is per-bucket co-partitioned.
+- **Schema evolution**: add-column and widen-type update the current schema
+  without rewriting data; every data dir records the schema id it was
+  written under, and reads cast/align each schema generation to the current
+  schema (Iceberg UpdateSchema semantics).
+- **Retention**: ``expire_snapshots`` drops old snapshot JSONs and deletes
+  data dirs no retained snapshot references — the reference's two-pass
+  superseded-batch cleanup (``omicidx_etl/sra/catalog.py:212-275``) done
+  safely from the manifest instead of filesystem globs.
+
+Single-writer by design (the reference is a single daily cron writer too);
+multi-writer would need a lock service or a real catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "__bucket"
+
+# Allowed no-rewrite type widenings (Iceberg-compatible set).
+_WIDEN_OK = {
+    ("integer", "long"),
+    ("integer", "double"),
+    ("float", "double"),
+    ("long", "double"),
+}
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """The bucket transform. Must be identical everywhere (write + prune)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._snap: dict[str, Any] | None = None
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self._meta_dir, "_current")
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self._meta_dir, f"snapshot-{sid:09d}.json")
+
+    # ------------------------------------------------------------ create/load
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key: str,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        if key not in schema.fieldNames():
+            raise ValueError(f"key column {key!r} not in schema")
+        os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(spark, root)
+        snap = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "table": {"key": key, "n_buckets": n_buckets},
+            "current_schema_id": 0,
+            "schemas": {"0": schema.json()},
+            # bucket id (str) -> {"dir": relpath, "schema_id": int} | None
+            "buckets": {str(b): None for b in range(n_buckets)},
+            "txn": {},  # app_id -> high-water batch_id
+            "summary": {"operation": "create", "total_rows": 0},
+            "committed_at": time.time(),
+        }
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        t.snapshot()  # force resolve
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_meta", "_current"))
+
+    # ------------------------------------------------------------- snapshots
+    def snapshot(self) -> dict[str, Any]:
+        with open(self._pointer_path()) as f:
+            name = f.read().strip()
+        with open(os.path.join(self._meta_dir, name)) as f:
+            self._snap = json.load(f)
+        return self._snap
+
+    def _write_snapshot(self, snap: dict[str, Any]) -> None:
+        sid = snap["snapshot_id"]
+        path = self._snap_path(sid)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, path)
+        # atomic pointer swap = the commit point
+        ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(ptmp, "w") as f:
+            f.write(os.path.basename(path))
+        os.replace(ptmp, self._pointer_path())
+        self._snap = snap
+
+    def history(self) -> list[dict[str, Any]]:
+        snaps = []
+        for name in sorted(os.listdir(self._meta_dir)):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                with open(os.path.join(self._meta_dir, name)) as f:
+                    snaps.append(json.load(f))
+        return snaps
+
+    # ------------------------------------------------------------ properties
+    @property
+    def key(self) -> str:
+        return self.snapshot()["table"]["key"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot()["table"]["n_buckets"]
+
+    def current_schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return T.StructType.fromJson(
+            json.loads(snap["schemas"][str(snap["current_schema_id"])])
+        )
+
+    def committed_batch(self, app_id: str) -> int | None:
+        return self.snapshot()["txn"].get(app_id)
+
+    # ------------------------------------------------------------------ read
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot-isolated read; optionally pruned to a bucket subset.
+
+        Data dirs are grouped by the schema id they were written under; each
+        group is read with its own (exact) schema, aligned to the current
+        schema by cast/null-fill, and unioned — Iceberg-style evolution-safe
+        reads without rewrites.
+        """
+        snap = self.snapshot()
+        cur = self.current_schema(snap)
+        want = set(range(snap["table"]["n_buckets"])) if buckets is None else set(buckets)
+        by_schema: dict[int, list[str]] = {}
+        for b, entry in snap["buckets"].items():
+            if entry is None or int(b) not in want:
+                continue
+            by_schema.setdefault(entry["schema_id"], []).append(
+                os.path.join(self.root, entry["dir"])
+            )
+        parts: list[DataFrame] = []
+        for sid, dirs in sorted(by_schema.items()):
+            s = T.StructType.fromJson(json.loads(snap["schemas"][str(sid)]))
+            df = self.spark.read.schema(s).parquet(*dirs)
+            parts.append(_align(df, cur))
+        if not parts:
+            return self.spark.createDataFrame([], cur)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------- overwrite
+    def overwrite(
+        self,
+        df: DataFrame,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Replace the whole table content atomically (initial load path)."""
+        snap = self.snapshot()
+        if _already_committed(snap, app_id, batch_id):
+            return _skipped(snap, app_id, batch_id)
+        key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
+        cur = self.current_schema(snap)
+        aligned = _align(df, cur).withColumn(BUCKET_COL, bucket_expr(key, nb))
+        new_sid = snap["snapshot_id"] + 1
+        rel = self._stage_write(aligned, new_sid, nb)
+        buckets = {str(b): None for b in range(nb)}
+        for b, d in rel.items():
+            buckets[str(b)] = {"dir": d, "schema_id": snap["current_schema_id"]}
+        return self._commit(
+            snap, new_sid, buckets, app_id, batch_id,
+            summary={"operation": "overwrite"},
+        )
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        changes: DataFrame,
+        op_col: str = "op",
+        delete_value: str = "D",
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """MERGE INTO this table USING ``changes`` ON key:
+
+        - op == delete_value  → WHEN MATCHED DELETE (absent key: no-op)
+        - otherwise           → UPDATE SET * / INSERT * (upsert)
+
+        ``changes`` must already be deduplicated to ≤1 row per key (use
+        ``cdc.dedup_latest``) — Iceberg's multi-match rule, enforced here by
+        contract, checked cheaply via observation downstream.
+
+        Physical plan: changes are bucketed with the table transform; only
+        touched buckets are scanned (manifest pruning) and rewritten
+        (copy-on-write). Survivors = base ⟕anti changes on key; output =
+        survivors ∪ upserts; one shuffle each side on the key, AQE handles
+        residual skew.
+        """
+        snap = self.snapshot()
+        if _already_committed(snap, app_id, batch_id):
+            return _skipped(snap, app_id, batch_id)
+        key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
+        cur = self.current_schema(snap)
+
+        ch = changes.withColumn(BUCKET_COL, bucket_expr(key, nb))
+        # touched-bucket discovery: tiny collect (≤ n_buckets values)
+        touched = sorted(
+            r[0] for r in ch.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return self._commit(
+                snap, snap["snapshot_id"] + 1, dict(snap["buckets"]),
+                app_id, batch_id, summary={"operation": "merge", "touched_buckets": 0},
+            )
+
+        upserts = (
+            _align(ch.filter(F.col(op_col) != delete_value), cur)
+            .withColumn(BUCKET_COL, bucket_expr(key, nb))
+            .withColumn("__is_upsert", F.lit(1))
+        )
+        base = (
+            self.read(buckets=touched)
+            .withColumn(BUCKET_COL, bucket_expr(key, nb))
+            .withColumn("__is_upsert", F.lit(0))
+        )
+        change_keys = ch.select(key)
+        survivors = base.join(change_keys, key, "left_anti")
+        obs = Observation(f"merge_{snap['snapshot_id'] + 1}")
+        merged = (
+            survivors.unionByName(upserts)
+            .observe(
+                obs,
+                F.sum("__is_upsert").alias("upserted_rows"),
+                F.count(F.lit(1)).alias("rows_written"),
+            )
+            .drop("__is_upsert")
+        )
+
+        new_sid = snap["snapshot_id"] + 1
+        rel = self._stage_write(merged, new_sid, nb)
+        metrics = obs.get
+        buckets = dict(snap["buckets"])
+        for b in touched:
+            d = rel.get(b)
+            buckets[str(b)] = (
+                {"dir": d, "schema_id": snap["current_schema_id"]} if d else None
+            )
+        summary = {
+            "operation": "merge",
+            "touched_buckets": len(touched),
+            "rows_written": int(metrics.get("rows_written") or 0),
+            "upserted_rows": int(metrics.get("upserted_rows") or 0),
+        }
+        if extra_summary:
+            summary.update(extra_summary)
+        return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
+
+    # -------------------------------------------------------- schema evolution
+    def add_column(self, name: str, dtype: T.DataType) -> None:
+        snap = self.snapshot()
+        cur = self.current_schema(snap)
+        if name in cur.fieldNames():
+            return  # idempotent
+        new = T.StructType(cur.fields + [T.StructField(name, dtype, True)])
+        self._evolve(snap, new, f"add_column {name}")
+
+    def widen_column(self, name: str, dtype: T.DataType) -> None:
+        snap = self.snapshot()
+        cur = self.current_schema(snap)
+        fields = []
+        for f in cur.fields:
+            if f.name == name:
+                pair = (f.dataType.simpleString(), dtype.simpleString())
+                if f.dataType == dtype:
+                    return  # idempotent
+                if pair not in _WIDEN_OK:
+                    raise ValueError(f"illegal widen {pair[0]} -> {pair[1]}")
+                fields.append(T.StructField(name, dtype, f.nullable))
+            else:
+                fields.append(f)
+        self._evolve(snap, T.StructType(fields), f"widen_column {name}")
+
+    def _evolve(self, snap: dict, new_schema: T.StructType, op: str) -> None:
+        new_schema_id = max(int(k) for k in snap["schemas"]) + 1
+        new = dict(snap)
+        new["snapshot_id"] = snap["snapshot_id"] + 1
+        new["parent_id"] = snap["snapshot_id"]
+        new["schemas"] = dict(snap["schemas"], **{str(new_schema_id): new_schema.json()})
+        new["current_schema_id"] = new_schema_id
+        new["summary"] = {"operation": op}
+        new["committed_at"] = time.time()
+        self._write_snapshot(new)
+
+    # -------------------------------------------------------------- retention
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop old snapshot files and delete data dirs no retained snapshot
+        references. Returns deleted data-dir relpaths."""
+        snaps = self.history()
+        keep = snaps[-keep_last:] if keep_last > 0 else snaps[-1:]
+        keep_ids = {s["snapshot_id"] for s in keep}
+        referenced = set()
+        for s in keep:
+            for entry in s["buckets"].values():
+                if entry:
+                    referenced.add(entry["dir"])
+        deleted = []
+        # snapshot metadata
+        for s in snaps:
+            if s["snapshot_id"] not in keep_ids:
+                p = self._snap_path(s["snapshot_id"])
+                if os.path.exists(p):
+                    os.remove(p)
+        # orphan data dirs (two-pass like catalog.py:212-275, but manifest-driven)
+        if os.path.isdir(self._data_dir):
+            for snapdir in os.listdir(self._data_dir):
+                for bdir in os.listdir(os.path.join(self._data_dir, snapdir)):
+                    rel = os.path.join("data", snapdir, bdir)
+                    if rel not in referenced:
+                        shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                        deleted.append(rel)
+            for snapdir in os.listdir(self._data_dir):
+                full = os.path.join(self._data_dir, snapdir)
+                if not os.listdir(full):
+                    os.rmdir(full)
+        return deleted
+
+    # -------------------------------------------------------------- internals
+    def _stage_write(self, df: DataFrame, sid: int, nb: int) -> dict[int, str]:
+        """Write df (must carry BUCKET_COL) under data/snap-{sid}/ partitioned
+        by bucket; returns {bucket: relpath} for buckets that produced files."""
+        stage_rel = os.path.join("data", f"snap-{sid:09d}")
+        stage = os.path.join(self.root, stage_rel)
+        (
+            df.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(stage)
+        )
+        out: dict[int, str] = {}
+        if os.path.isdir(stage):
+            for name in os.listdir(stage):
+                if name.startswith(f"{BUCKET_COL}="):
+                    b = int(name.split("=", 1)[1])
+                    out[b] = os.path.join(stage_rel, name)
+        return out
+
+    def _commit(
+        self,
+        parent: dict,
+        new_sid: int,
+        buckets: dict[str, Any],
+        app_id: str | None,
+        batch_id: int | None,
+        summary: dict[str, Any],
+    ) -> dict[str, Any]:
+        txn = dict(parent["txn"])
+        if app_id is not None and batch_id is not None:
+            txn[app_id] = max(batch_id, txn.get(app_id, -1))
+        snap = {
+            "snapshot_id": new_sid,
+            "parent_id": parent["snapshot_id"],
+            "table": parent["table"],
+            "current_schema_id": parent["current_schema_id"],
+            "schemas": parent["schemas"],
+            "buckets": buckets,
+            "txn": txn,
+            "summary": dict(summary, skipped=False),
+            "committed_at": time.time(),
+        }
+        self._write_snapshot(snap)
+        return snap
+
+
+def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema: cast matching columns, null-fill missing ones,
+    drop extras. Column-expression only."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _already_committed(snap: dict, app_id: str | None, batch_id: int | None) -> bool:
+    if app_id is None or batch_id is None:
+        return False
+    return snap["txn"].get(app_id, -1) >= batch_id
+
+
+def _skipped(snap: dict, app_id: str | None, batch_id: int | None) -> dict[str, Any]:
+    return dict(
+        snap,
+        summary={"operation": "merge", "skipped": True, "app_id": app_id, "batch_id": batch_id},
+    )

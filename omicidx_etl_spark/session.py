@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Reference parity: the reference configures its engine (DuckDB) once with
+memory/temp/ordering knobs (``omicidx_etl/db.py:26-29``); this is the Spark
+analogue. Every knob here is a public Spark conf.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting;
+  the local shuffle-partition default is overridden per-cluster.
+- Arrow on: every pandas UDF / mapInPandas crossing is Arrow-batched
+  (the reference's per-row Python loop is the anti-pattern we replace).
+- UTC session timezone: parquet timestamps compare bit-identically against
+  the DuckDB oracle and across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "omicidx-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster it is supplied by spark-submit and left untouched.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- planner / runtime re-planning ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        # --- python boundary: Arrow everywhere ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- determinism / oracle comparability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- IO ---
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local mode: keep the UI off and the JVM quiet
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
