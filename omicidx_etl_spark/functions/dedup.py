@@ -1,0 +1,162 @@
+"""Deduplication family for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash. All hash math uses md5 hex strings so every operator
+is DuckDB-oracle-checkable value-for-value, and all plans are
+shuffle-conscious:
+
+- exact: one hash-groupBy (map-side combinable).
+- MinHash: explode(shingle × K hashes) → min per (doc, k) → band buckets →
+  self-join only within buckets (the LSH point: candidate pairs without the
+  O(n²) cross join).
+- n-gram Jaccard: inverted-index self-join on shingle (pairs that share ≥1
+  shingle), counts → |A∩B| / (|A|+|B|−|A∩B|).
+- SimHash: per-bit sign sums from md5 hex digits → 16-bit signature;
+  near-dups = signature match (0-distance buckets) — scale path buckets by
+  signature bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from omicidx_etl_spark.functions.text import shingles_expr
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode shingles, self-join on shingle (only pairs
+    sharing a shingle meet), count intersections, compare to set sizes.
+    At 100 TB: prefilter hot shingles (df stop-shingles) and/or run MinHash
+    first; this operator is the exact refiner for candidate pairs.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, k: int = 16
+) -> DataFrame:
+    """K-permutation MinHash signature per doc: sig[k] = min md5(k||shingle).
+
+    One explode + one (doc, k) groupBy; partial agg combines map-side."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    ks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("k")
+    hashed = sh.select("doc", ks, "shingle").withColumn(
+        "h", F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("shingle")))
+    )
+    return hashed.groupBy("doc", "k").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: split the K minhashes into ``bands`` bands of
+    K/bands rows; docs sharing any full band signature are candidates.
+    The self-join runs per (band, signature) bucket — never O(n²)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    band = (
+        sigs.withColumn("band", (F.col("k") / rows).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.array_join(F.sort_array(F.collect_list("minhash")), "|").alias("sig"))
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """16-bit SimHash from md5 hex digits of whitespace words.
+
+    bit_b(word) = high bit of hex digit b of md5(word); per-doc bit = sign of
+    Σ(±1). Returns (id, simhash) as a bit-string column. One explode + one
+    groupBy with ``bits`` conditional sums (all partial-aggregatable)."""
+    words = F.explode(
+        F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower)
+    ).alias("w")
+    base = df.select(F.col(id_col).alias("doc"), words).withColumn(
+        "h", F.md5(F.col("w"))
+    )
+    sums = base.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(F.col("h"), b + 1, 1).isin(*list("89abcdef")), 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.concat(
+        *[F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    )
+    return sums.select("doc", sig.alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Docs whose SimHash signatures collide (near-dup clusters)."""
+    s = simhash(df, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter(F.col("n_docs") > 1)
+    )

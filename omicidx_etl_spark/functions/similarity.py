@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k neighbors of a query vector. The dot
+  product is a pure higher-order expression (``zip_with`` + ``aggregate``),
+  fully JVM-side; the top-k is a single takeOrdered-style sort-limit.
+- ``lsh_buckets`` / ``ann_lsh_topk``: random-hyperplane (sign) LSH with
+  deterministic md5-derived hyperplanes; neighbors are searched only within
+  the query's bucket — the scale path (bucket sizes ~ n/2^planes).
+- ``pairwise_topk_per_label``: embedding-cosine near-dup detection within
+  groups (broadcast-free within-bucket self-join).
+
+All math is done in float64 after casting, accumulating left-to-right, so
+DuckDB's ``list_dot_product`` on the same arrays matches bit-for-bit at
+round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: scan once, compute cosine per row, global
+    sort-limit (Spark executes ORDER BY + LIMIT as TakeOrderedAndProject —
+    no full sort shuffle)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 — same on any engine."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()
+    return 1 if int(h[0], 16) >= 8 else -1
+
+
+def plane_matrix(n_planes: int, dims: int) -> list[list[int]]:
+    return [[_plane_sign(p, d) for d in range(dims)] for p in range(n_planes)]
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dims: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit p = sign(v · h_p) with
+    h_p ∈ {±1}^dims derived from md5 (deterministic, engine-independent).
+    Pure column expressions: one pass, no shuffle."""
+    planes = plane_matrix(n_planes, dims)
+    bits = []
+    for p in range(n_planes):
+        hp = F.array(*[F.lit(float(s)) for s in planes[p]])
+        bits.append(F.when(dot(F.col(vec_col), hp) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dims: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ANN: restrict the brute-force search to the query's LSH bucket.
+    Recall trades off with n_planes; the bucket predicate prunes the scan
+    to ~n/2^planes rows before any ranking work."""
+    planes = plane_matrix(n_planes, dims)
+    qbits = "".join(
+        "1" if sum(s * v for s, v in zip(planes[p], query_vec)) >= 0 else "0"
+        for p in range(n_planes)
+    )
+    bucketed = lsh_buckets(df, dims, n_planes, id_col, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qbits), query_vec, id_col, vec_col, k
+    )
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within each label group — the
+    grouped (blocked) self-join pattern: the cross product only forms inside
+    a group, never globally."""
+    a = df.select(
+        F.col(label_col).alias("g"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+    )
+    b = df.select(
+        F.col(label_col).alias("g"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+    )
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("g", "id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for a training-data pipeline, all JVM-side
+column expressions (no Python in the hot path).
+
+Cross-engine determinism: anything hash-based uses md5 hex strings, which
+are identical in Spark and DuckDB — so every operator here can be
+oracle-checked value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# tiny per-language marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "y", "los"),
+    "de": ("der", "die", "und", "das"),
+}
+
+# a BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_expr(text_col):
+    """Whitespace tokenization, consecutive-space safe."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    return df.withColumn(
+        "n_words", F.size(words_expr(F.col(text_col)))
+    ).withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality signals and a
+    composite keep/drop score — the C4/Gopher-style heuristic family."""
+    words = words_expr(F.col(text_col))
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), F.lit(0)))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_words, F.lit(1)), 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn(
+            "quality_keep",
+            (n_words >= 5)
+            & (F.col("punct_ratio") < 0.3)
+            & (F.col("mean_word_len") >= 2)
+            & (F.col("mean_word_len") <= 12),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker hits.
+
+    Deterministic tie-break: higher count wins, then language code asc;
+    zero hits → 'und'. Pure column expressions (array of structs + max)."""
+    words = F.transform(words_expr(F.col(text_col)), F.lower)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.filter(
+                        words,
+                        lambda w: F.array_contains(
+                            F.array(*[F.lit(m) for m in marks]), w
+                        ),
+                    )
+                ).alias("hits"),
+                # invert code ordering so array_max's lexicographic struct
+                # compare breaks ties toward the *smaller* language code
+                F.lit(-ord(code[0]) * 256 - ord(code[1])).alias("inv"),
+                F.lit(code).alias("lang"),
+            )
+            for code, marks in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Word n-gram shingles as strings (distinct set per doc)."""
+    words = F.transform(words_expr(text_col), F.lower)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: min md5 over word-n-gram shingles (a 1-hash
+    MinHash — the rolling-hash winnowing analogue, order-invariant and
+    cross-engine checkable)."""
+    sh = shingles_expr(F.col(text_col), n)
+    return df.withColumn(
+        "fingerprint", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )

@@ -45,13 +45,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "__bucket"
+SEQ_COL = "__seq"  # per-row version (WAL LSN of the winning event)
+DELETED_COL = "__deleted"  # persisted tombstone flag (merge-on-read delete)
 
-# Allowed no-rewrite type widenings (Iceberg-compatible set).
+# Allowed no-rewrite type widenings (Iceberg-compatible set),
+# keyed by DataType.simpleString().
 _WIDEN_OK = {
-    ("integer", "long"),
-    ("integer", "double"),
+    ("int", "bigint"),
+    ("int", "double"),
     ("float", "double"),
-    ("long", "double"),
+    ("bigint", "double"),
 }
 
 
@@ -170,16 +173,23 @@ class LakeTable:
         return self.snapshot()["txn"].get(app_id)
 
     # ------------------------------------------------------------------ read
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        include_system: bool = False,
+    ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
 
         Data dirs are grouped by the schema id they were written under; each
-        group is read with its own (exact) schema, aligned to the current
-        schema by cast/null-fill, and unioned — Iceberg-style evolution-safe
-        reads without rewrites.
+        group is read with its own (exact) physical schema, aligned to the
+        current schema by cast/null-fill, and unioned — Iceberg-style
+        evolution-safe reads without rewrites. Tombstone rows (``__deleted``)
+        are filtered out unless requested; system columns (``__seq``,
+        ``__deleted``) are dropped unless requested.
         """
         snap = self.snapshot()
-        cur = self.current_schema(snap)
+        cur_phys = _phys(self.current_schema(snap))
         want = set(range(snap["table"]["n_buckets"])) if buckets is None else set(buckets)
         by_schema: dict[int, list[str]] = {}
         for b, entry in snap["buckets"].items():
@@ -190,14 +200,19 @@ class LakeTable:
             )
         parts: list[DataFrame] = []
         for sid, dirs in sorted(by_schema.items()):
-            s = T.StructType.fromJson(json.loads(snap["schemas"][str(sid)]))
+            s = _phys(T.StructType.fromJson(json.loads(snap["schemas"][str(sid)])))
             df = self.spark.read.schema(s).parquet(*dirs)
-            parts.append(_align(df, cur))
+            parts.append(_align(df, cur_phys))
         if not parts:
-            return self.spark.createDataFrame([], cur)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.createDataFrame([], cur_phys)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_deleted:
+            out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if not include_system:
+            out = out.drop(SEQ_COL, DELETED_COL)
         return out
 
     # ------------------------------------------------------------- overwrite
@@ -206,14 +221,22 @@ class LakeTable:
         df: DataFrame,
         app_id: str | None = None,
         batch_id: int | None = None,
+        seq_value: int = 0,
     ) -> dict[str, Any]:
-        """Replace the whole table content atomically (initial load path)."""
+        """Replace the whole table content atomically (initial load path).
+        Rows get version ``seq_value`` (later change events must carry a
+        higher seq to supersede them)."""
         snap = self.snapshot()
         if _already_committed(snap, app_id, batch_id):
             return _skipped(snap, app_id, batch_id)
         key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
         cur = self.current_schema(snap)
-        aligned = _align(df, cur).withColumn(BUCKET_COL, bucket_expr(key, nb))
+        aligned = (
+            _align(df, cur)
+            .withColumn(SEQ_COL, F.lit(seq_value).cast("long"))
+            .withColumn(DELETED_COL, F.lit(False))
+            .withColumn(BUCKET_COL, bucket_expr(key, nb))
+        )
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(aligned, new_sid, nb)
         buckets = {str(b): None for b in range(nb)}
@@ -230,24 +253,27 @@ class LakeTable:
         changes: DataFrame,
         op_col: str = "op",
         delete_value: str = "D",
+        seq_col: str = "seq",
         app_id: str | None = None,
         batch_id: int | None = None,
         extra_summary: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
-        """MERGE INTO this table USING ``changes`` ON key:
+        """MERGE INTO this table USING ``changes`` ON key, versioned:
 
-        - op == delete_value  → WHEN MATCHED DELETE (absent key: no-op)
-        - otherwise           → UPDATE SET * / INSERT * (upsert)
+        a change applies only if ``changes.seq`` is greater than the stored
+        row version (``__seq``) — so replay is **order-independent** across
+        micro-batches: late or re-delivered events are per-row no-ops, the
+        T3 watermark guard. Deletes persist as tombstone rows (``__deleted``)
+        carrying their seq, so an older event can never resurrect a deleted
+        key (merge-on-read tombstones; reclaim via ``purge_tombstones``).
 
         ``changes`` must already be deduplicated to ≤1 row per key (use
-        ``cdc.dedup_latest``) — Iceberg's multi-match rule, enforced here by
-        contract, checked cheaply via observation downstream.
+        ``cdc.dedup_latest``) — Iceberg's multi-match rule, by contract.
 
         Physical plan: changes are bucketed with the table transform; only
         touched buckets are scanned (manifest pruning) and rewritten
-        (copy-on-write). Survivors = base ⟕anti changes on key; output =
-        survivors ∪ upserts; one shuffle each side on the key, AQE handles
-        residual skew.
+        (copy-on-write). One full-outer shuffle join on the key per merge;
+        AQE splits residual skew.
         """
         snap = self.snapshot()
         if _already_committed(snap, app_id, batch_id):
@@ -256,37 +282,51 @@ class LakeTable:
         cur = self.current_schema(snap)
 
         ch = changes.withColumn(BUCKET_COL, bucket_expr(key, nb))
-        # touched-bucket discovery: tiny collect (≤ n_buckets values)
-        touched = sorted(
-            r[0] for r in ch.select(BUCKET_COL).distinct().collect()
-        )
+        # touched-bucket discovery: tiny collect (<= n_buckets values)
+        touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
         if not touched:
             return self._commit(
                 snap, snap["snapshot_id"] + 1, dict(snap["buckets"]),
-                app_id, batch_id, summary={"operation": "merge", "touched_buckets": 0},
+                app_id, batch_id,
+                summary={"operation": "merge", "touched_buckets": 0},
             )
 
-        upserts = (
-            _align(ch.filter(F.col(op_col) != delete_value), cur)
-            .withColumn(BUCKET_COL, bucket_expr(key, nb))
-            .withColumn("__is_upsert", F.lit(1))
+        is_del = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
+        have = set(ch.columns)
+        user_cols = [
+            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in cur.fields
+        ]
+        ch_phys = ch.select(
+            *user_cols,
+            F.col(seq_col).cast("long").alias(SEQ_COL),
+            is_del.alias(DELETED_COL),
         )
-        base = (
-            self.read(buckets=touched)
-            .withColumn(BUCKET_COL, bucket_expr(key, nb))
-            .withColumn("__is_upsert", F.lit(0))
+        phys_cols = [f.name for f in cur.fields] + [SEQ_COL, DELETED_COL]
+        c_side = ch_phys.select(
+            F.col(key).alias("__k"), F.struct(*phys_cols).alias("__c")
         )
-        change_keys = ch.select(key)
-        survivors = base.join(change_keys, key, "left_anti")
+        b_side = self.read(
+            buckets=touched, include_deleted=True, include_system=True
+        ).select(F.col(key).alias("__k"), F.struct(*phys_cols).alias("__b"))
+
+        joined = b_side.join(c_side, "__k", "full_outer")
+        winner = (
+            F.when(F.col("__c").isNull(), F.col("__b"))
+            .when(F.col("__b").isNull(), F.col("__c"))
+            .when(F.col("__c")[SEQ_COL] > F.col("__b")[SEQ_COL], F.col("__c"))
+            .otherwise(F.col("__b"))
+        )
         obs = Observation(f"merge_{snap['snapshot_id'] + 1}")
         merged = (
-            survivors.unionByName(upserts)
+            joined.select(winner.alias("__w"))
+            .select("__w.*")
             .observe(
                 obs,
-                F.sum("__is_upsert").alias("upserted_rows"),
                 F.count(F.lit(1)).alias("rows_written"),
+                F.sum(F.col(DELETED_COL).cast("long")).alias("tombstone_rows"),
             )
-            .drop("__is_upsert")
+            .withColumn(BUCKET_COL, bucket_expr(key, nb))
         )
 
         new_sid = snap["snapshot_id"] + 1
@@ -302,11 +342,31 @@ class LakeTable:
             "operation": "merge",
             "touched_buckets": len(touched),
             "rows_written": int(metrics.get("rows_written") or 0),
-            "upserted_rows": int(metrics.get("upserted_rows") or 0),
+            "tombstone_rows": int(metrics.get("tombstone_rows") or 0),
         }
         if extra_summary:
             summary.update(extra_summary)
         return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
+
+    def purge_tombstones(self, before_seq: int) -> dict[str, Any]:
+        """Retention: rewrite all buckets dropping tombstones older than
+        ``before_seq`` (safe once no event with seq < before_seq can still
+        arrive — the retention watermark). The reference analogue is the
+        superseded-batch cleanup (``catalog.py:212-275``)."""
+        snap = self.snapshot()
+        key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
+        kept = self.read(include_deleted=True, include_system=True).filter(
+            ~(F.col(DELETED_COL) & (F.col(SEQ_COL) < before_seq))
+        ).withColumn(BUCKET_COL, bucket_expr(key, nb))
+        new_sid = snap["snapshot_id"] + 1
+        rel = self._stage_write(kept, new_sid, nb)
+        buckets = {str(b): None for b in range(nb)}
+        for b, d in rel.items():
+            buckets[str(b)] = {"dir": d, "schema_id": snap["current_schema_id"]}
+        return self._commit(
+            snap, new_sid, buckets, None, None,
+            summary={"operation": "purge_tombstones", "before_seq": before_seq},
+        )
 
     # -------------------------------------------------------- schema evolution
     def add_column(self, name: str, dtype: T.DataType) -> None:
@@ -422,6 +482,17 @@ class LakeTable:
         }
         self._write_snapshot(snap)
         return snap
+
+
+def _phys(user_schema: T.StructType) -> T.StructType:
+    """Physical file schema = user schema + system columns."""
+    return T.StructType(
+        user_schema.fields
+        + [
+            T.StructField(SEQ_COL, T.LongType(), True),
+            T.StructField(DELETED_COL, T.BooleanType(), True),
+        ]
+    )
 
 
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:

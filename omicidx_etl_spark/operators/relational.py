@@ -1,0 +1,158 @@
+"""Relational operator library mirroring the reference's consolidation /
+view-layer SQL (SURVEY.md §2.2-2.8), expressed as reusable DataFrame
+transformations. Each function documents the reference site it covers.
+
+Scale notes: dimension sides of star joins are broadcast explicitly;
+everything else stays a declarative plan for Catalyst/AQE (join reordering,
+skew-join splitting, partial aggregation are free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- projections
+def staging_projection(df: DataFrame, spec: dict[str, object]) -> DataFrame:
+    """P1-P4/P9/P10: explicit select list with trim/cast/rename/derive —
+    the staging-view pattern (``omicidx_etl/sql/030_staging_views.sql:15-30,
+    60-61``). ``spec`` maps output name -> Column (or input name)."""
+    cols = []
+    for name, expr in spec.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        cols.append(col.alias(name))
+    return df.select(*cols)
+
+
+def web_link(col, prefix: str):
+    """P9: computed literal URL column
+    (``omicidx_etl/sql/040_geometadb_views.sql:58,88``)."""
+    return F.concat(F.lit(prefix), col)
+
+
+# --------------------------------------------------------------------- joins
+def enrich_left(fact: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """J1: equi left-outer enrichment
+    (``omicidx_etl/sql/030_staging_views.sql:84-85``). The dim side is NOT
+    force-broadcast — at scale it may be large; AQE decides."""
+    return fact.join(dim, on, "left")
+
+
+def denormalize(
+    fact: DataFrame, dims: list[tuple[DataFrame, str | list[str] | object]]
+) -> DataFrame:
+    """J2: chained left-outer denormalization, run→…→study style
+    (``omicidx_etl/sql/050_sradb_views.sql:240-243``). Dimension tables are
+    broadcast — the classic star-join plan: zero shuffles of the fact."""
+    out = fact
+    for dim, on in dims:
+        out = out.join(F.broadcast(dim), on, "left")
+    return out
+
+
+def exists_flag(
+    left: DataFrame, right: DataFrame, on: str, flag_name: str
+) -> DataFrame:
+    """J3: existence flag — the reference spells it left-join+IS NOT NULL
+    (``omicidx_etl/sql/040_geometadb_views.sql:42-47,69-72``); we use the
+    cleaner broadcast semi-join shape: distinct keys + left join + flag."""
+    keys = right.select(F.col(on)).distinct().withColumn("__hit", F.lit(True))
+    return (
+        left.join(F.broadcast(keys), on, "left")
+        .withColumn(flag_name, F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
+def explode_bridge(
+    df: DataFrame, id_col: str, array_col: str, out_col: str
+) -> DataFrame:
+    """J5: M:N bridge-table construction via explode + distinct
+    (``omicidx_etl/sql/040_geometadb_views.sql:100-113``)."""
+    return df.select(
+        F.col(id_col), F.explode(array_col).alias(out_col)
+    ).distinct()
+
+
+# ------------------------------------------------------------------ set ops
+def union_discriminated(
+    parts: list[tuple[DataFrame, str]], discriminator: str
+) -> DataFrame:
+    """U1: UNION ALL with a source-discriminator column
+    (``omicidx_etl/sql/040_geometadb_views.sql:116-130``)."""
+    out = None
+    for df, tag in parts:
+        tagged = df.withColumn(discriminator, F.lit(tag))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+# ------------------------------------------------------------------- windows
+def surrogate_ids(df: DataFrame, order_col: str, id_name: str = "row_id") -> DataFrame:
+    """W2: global surrogate-id assignment — ``ROW_NUMBER() OVER (ORDER BY k)``
+    (``omicidx_etl/sql/050_sradb_views.sql:22,52,…``).
+
+    SCALE HAZARD (SURVEY §7.4.4): an unpartitioned window single-partitions.
+    Kept only for small compat views; for large tables use
+    ``scalable_surrogate_ids``."""
+    w = Window.orderBy(order_col)
+    return df.withColumn(id_name, F.row_number().over(w))
+
+
+def scalable_surrogate_ids(
+    df: DataFrame, order_col: str, id_name: str = "row_id", partitions: int = 0
+) -> DataFrame:
+    """Distributed dense surrogate ids with the same result as
+    ``surrogate_ids``: range-repartition by the order key, rank within each
+    partition, then add per-partition offsets (one tiny driver-side pass over
+    partition counts). Two narrow passes, no single-partition sort."""
+    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(n), order_col)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # per-partition rank (window over small in-partition groups)
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = with_pid.withColumn("__lrn", F.row_number().over(w))
+    counts = (
+        local.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # ≤ partitions rows
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(id_name, (F.col("__lrn") + off[F.col("__pid")]).cast("int"))
+        .drop("__pid", "__lrn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Top-k per group (generalization of W1; SURVEY §2.6)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------------- export
+def ordered_export(df: DataFrame, path: str, order_col: str, fmt: str = "parquet"):
+    """S9/O1: clustered materialization — ``COPY (… ORDER BY k) TO file``
+    (``omicidx_etl/sql/010_raw_to_parquet.sql:8-12``). Range-partitioned
+    total sort (no single-file coalesce at scale); zstd parquet."""
+    (
+        df.repartitionByRange(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), order_col
+        )
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .format(fmt)
+        .save(path)
+    )

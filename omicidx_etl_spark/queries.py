@@ -1,0 +1,921 @@
+"""Query registry: every implemented operator from SURVEY.md §2 wired to the
+driver's testdata tables, each with a DuckDB-equivalent oracle SQL.
+
+Contract (driver): each spark fn takes (spark, sf_dir) and returns a
+DataFrame; the oracle SQL runs on DuckDB views named region nation customer
+supplier part orders lineitem events documents embeddings. Column names are
+aliased identically on both sides; floating-point outputs are either
+integer-exact (cents/e4 fixed-point via ``floor(x*scale + 0.5)``) or derived
+by a single arithmetic op from exact values, so value hashes match
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omicidx_etl_spark.functions import dedup as D
+from omicidx_etl_spark.functions import multimodal as M
+from omicidx_etl_spark.functions import similarity as S
+from omicidx_etl_spark.functions import text as X
+from omicidx_etl_spark.operators import cdc_ops as C
+from omicidx_etl_spark.operators import relational as R
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Exact fixed-point: floor(x*100 + 0.5) — identical rounding semantics
+    in Spark and DuckDB (both lack a shared ROUND mode; floor(+0.5) is one)."""
+    return F.floor(col * F.lit(100) + F.lit(0.5)).cast("long")
+
+
+def _e4(col) -> F.Column:
+    return F.floor(col * F.lit(10000) + F.lit(0.5)).cast("long")
+
+
+def _ts_us(col) -> F.Column:
+    """Epoch micros from a (possibly NTZ) timestamp; session tz is UTC so
+    NTZ→TZ is identity and matches DuckDB's epoch_us on naive timestamps."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """A3/TPC-H-Q1-style grouped aggregation; fixed-point exact sums.
+    Partial (map-side) aggregation + 2-col groupBy: one shuffle of tiny
+    pre-aggregated state regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(_e4(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias(
+            "sum_disc_e4"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "a1_count_star",
+    """
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*) FROM orders)   AS n_orders,
+           (SELECT COUNT(*) FROM events)   AS n_events
+    """,
+)
+def a1_count_star(spark, sf_dir):
+    """A1/A2: row-count census (the reference's post-COPY COUNT(*) checks,
+    ``010_raw_to_parquet.sql:14`` and build_db census)."""
+    li = _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_lineitem"))
+    o = _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
+    e = _t(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n_events"))
+    return li.crossJoin(o).crossJoin(e)
+
+
+@register(
+    "a5_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a5_distinct(spark, sf_dir):
+    """A5: full-row DISTINCT (``040_geometadb_views.sql:101``)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "a6_dedup_keep_one",
+    """
+    SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+    """,
+)
+def a6_dedup_keep_one(spark, sf_dir):
+    """A6: keyed keep-one dedup (DISTINCT ON analogue,
+    ``030_staging_views.sql:115``) made deterministic via min_by."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by(F.col("event_id"), F.col("event_id")).alias("first_event_id"),
+        F.min_by(F.col("event_type"), F.col("event_id")).alias("first_event_type"),
+    )
+
+
+# =====================================================================
+# Windows — the CDC core (SURVEY §2.5)
+# =====================================================================
+
+@register(
+    "w1_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents,
+           epoch_us(ts) AS ts_us
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def w1_latest_per_key(spark, sf_dir):
+    """W1: latest-version-per-key (the engine's core dedup,
+    ``010_raw_to_parquet.sql:36-43``) via map-side-combinable max_by."""
+    ev = _t(spark, sf_dir, "events")
+    out = C.latest_per_key(ev, ["user_id"], ["ts", "event_id"], method="max_by")
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_cents"),
+        _ts_us(F.col("ts")).alias("ts_us"),
+    )
+
+
+@register(
+    "cdc_replay_events",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_replay_events(spark, sf_dir):
+    """The full CDC consolidation (W1 + P5 tombstones) on the events
+    stand-in change log: latest event per user wins; 'error' acts as the
+    tombstone op (the reference's PubMed delete, ``010:341``)."""
+    ev = _t(spark, sf_dir, "events")
+    out = C.replay_table(
+        ev, ["user_id"], ["ts", "event_id"], op_col="event_type", delete_value="error"
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", _cents(F.col("value")).alias("value_cents")
+    )
+
+
+@register(
+    "w2_surrogate_ids",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS INT) AS row_id
+    FROM customer
+    """,
+)
+def w2_surrogate_ids(spark, sf_dir):
+    """W2: surrogate ids (``050_sradb_views.sql:22``) — implemented with the
+    scalable two-pass range-partition + offset scheme, value-identical to
+    the single-partition ROW_NUMBER the reference uses."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return R.scalable_surrogate_ids(c, "c_custkey", "row_id", partitions=8)
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def topk_per_group_q(spark, sf_dir):
+    """Top-k per group (SURVEY §2.6 extension of W1)."""
+    o = _t(spark, sf_dir, "orders")
+    out = R.topk_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", _cents(F.col("o_totalprice")).alias("total_cents")
+    )
+
+
+@register(
+    "w_running_metrics",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+)
+def w_running_metrics(spark, sf_dir):
+    """Frame-spec windows (running sum) + lag — the A4 running-counter
+    metrics (``log.py:225-259``) as analytic windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_cents(F.col("value"))).over(frame).alias("running_cents"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "sessionize",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap + cumulative flag sum (30-min gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = _ts_us(F.col("ts")) - F.lag(_ts_us(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(frame).alias("session_id"),
+    )
+
+
+# =====================================================================
+# Projections / filters (SURVEY §2.2)
+# =====================================================================
+
+@register(
+    "p_staging_projection",
+    """
+    SELECT p_partkey,
+           TRIM(p_name) AS name,
+           UPPER(p_brand) AS brand_upper,
+           TRY_CAST(regexp_extract(p_brand, '[0-9]+') AS INTEGER) AS brand_num,
+           CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+           'https://parts.example/?key=' || CAST(p_partkey AS VARCHAR) AS web_link,
+           CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS retail_cents
+    FROM part
+    """,
+)
+def p_staging_projection(spark, sf_dir):
+    """P1-P4/P9/P10 composed: explicit select list with trim, rename,
+    try_cast, regex extract, CASE flag, literal-concat URL — the staging
+    view pattern (``030_staging_views.sql:15-30,60-61``;
+    ``040_geometadb_views.sql:58,69``)."""
+    p = _t(spark, sf_dir, "part")
+    return R.staging_projection(
+        p,
+        {
+            "p_partkey": "p_partkey",
+            "name": F.trim(F.col("p_name")),
+            "brand_upper": F.upper(F.col("p_brand")),
+            "brand_num": F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).try_cast("int"),
+            "size_class": F.when(F.col("p_size") >= 25, "large").otherwise("small"),
+            "web_link": R.web_link(
+                F.col("p_partkey").cast("string"), "https://parts.example/?key="
+            ),
+            "retail_cents": _cents(F.col("p_retailprice")),
+        },
+    )
+
+
+@register(
+    "p5_tombstone_filter",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE NOT COALESCE(event_type = 'error', FALSE)
+    """,
+)
+def p5_tombstone_filter(spark, sf_dir):
+    """P5: null-safe tombstone filter (``010_raw_to_parquet.sql:341``)."""
+    ev = _t(spark, sf_dir, "events")
+    return C.tombstone_filter(ev, "event_type", "error").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "p8_date_range",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    WHERE ts >= TIMESTAMP '2024-01-04 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    """,
+)
+def p8_date_range(spark, sf_dir):
+    """P8: date-window predicate (feed since/until filters,
+    ``sra/cli.py:102-120``) — partition/row-group prunable."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-04 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
+    ).select("event_id", "user_id", _ts_us(F.col("ts")).alias("ts_us"))
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@register(
+    "j1_enrich_left",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           o_orderstatus, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def j1_enrich_left(spark, sf_dir):
+    """J1: equi left-outer enrichment (``030_staging_views.sql:84-85``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderstatus", _cents(F.col("o_totalprice")).alias("total_cents")
+    )
+    out = R.enrich_left(li, o, li["l_orderkey"] == o["o_orderkey"])
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "o_orderstatus", "total_cents")
+
+
+@register(
+    "j2_denormalize",
+    """
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j2_denormalize(spark, sf_dir):
+    """J2: chained left-outer denormalization with broadcast dims
+    (``050_sradb_views.sql:240-243``) — zero fact shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    out = R.denormalize(
+        c,
+        [
+            (n, c["c_nationkey"] == n["n_nationkey"]),
+            (r, n["n_regionkey"] == r["r_regionkey"]),
+        ],
+    )
+    return out.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+@register(
+    "j3_exists_flag",
+    """
+    SELECT c_custkey, c_name,
+           (c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
+    FROM customer
+    """,
+)
+def j3_exists_flag(spark, sf_dir):
+    """J3: existence flag via broadcast semi-join
+    (``040_geometadb_views.sql:42-47,69-72``)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.exists_flag(c, o, "c_custkey", "has_orders")
+
+
+@register(
+    "j4_anti_incremental",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+    """,
+)
+def j4_anti_incremental(spark, sf_dir):
+    """J4/S7: incremental work discovery — needed = available − already-done
+    (``etl/pubmed.py:52-63``; ``pmc_text/extract.py:111-116``) as a
+    broadcast left-anti join against the done-manifest."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    done = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return C.incremental_diff(o, done, "o_orderkey")
+
+
+@register(
+    "j5_explode_bridge",
+    """
+    SELECT DISTINCT doc_id, unnest(list_slice(regexp_split_to_array(TRIM(text), '\\s+'), 1, 3)) AS word
+    FROM documents
+    """,
+)
+def j5_explode_bridge(spark, sf_dir):
+    """J5/F7: M:N bridge construction via explode+distinct
+    (``040_geometadb_views.sql:100-113``) — doc→first-3-words bridge."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3)
+    return R.explode_bridge(d.withColumn("__w", arr), "doc_id", "__w", "word")
+
+
+# =====================================================================
+# Set operations (SURVEY §2.7)
+# =====================================================================
+
+@register(
+    "u1_union_discriminated",
+    """
+    SELECT c_name AS name, CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents, 'supplier' AS kind FROM supplier
+    """,
+)
+def u1_union_discriminated(spark, sf_dir):
+    """U1: UNION ALL with discriminator (``040_geometadb_views.sql:116-130``)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), _cents(F.col("c_acctbal")).alias("acctbal_cents")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), _cents(F.col("s_acctbal")).alias("acctbal_cents")
+    )
+    return R.union_discriminated([(c, "customer"), (s, "supplier")], "kind")
+
+
+@register(
+    "u3_set_difference",
+    """
+    SELECT DISTINCT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 45
+    EXCEPT
+    SELECT p_partkey FROM part WHERE p_size >= 10
+    """,
+)
+def u3_set_difference(spark, sf_dir):
+    """U3: set difference of key sets (``etl/pubmed.py:57-63``) as
+    ``exceptAll``-style anti composition — high-quantity parts that are not
+    large-size parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    hi = li.filter(F.col("l_quantity") > 45).select(F.col("l_partkey").alias("p_partkey")).distinct()
+    big = p.filter(F.col("p_size") >= 10).select("p_partkey")
+    return hi.exceptAll(big.distinct()).distinct()
+
+
+# =====================================================================
+# Scalar functions (SURVEY §2.8)
+# =====================================================================
+
+@register(
+    "f_scalar_pack",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           strftime(o_orderdate, '%Y-%m') AS order_ym,
+           TRY_CAST(regexp_extract(o_orderpriority, '^[0-9]+') AS INT) AS prio_num,
+           regexp_replace(o_orderpriority, '^[0-9]+-', '') AS prio_name,
+           lower(o_orderstatus) || '-' || CAST(o_orderkey % 10 AS VARCHAR) AS tag
+    FROM orders
+    """,
+)
+def f_scalar_pack(spark, sf_dir):
+    """F2-F5: concat, regex extract/replace, date parse/format
+    (``040_geometadb_views.sql:134-135``; ``sra/mirror.py:81-86``)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.regexp_extract(F.col("o_orderpriority"), "^[0-9]+", 0).try_cast("int").alias("prio_num"),
+        F.regexp_replace(F.col("o_orderpriority"), "^[0-9]+-", "").alias("prio_name"),
+        F.concat(
+            F.lower(F.col("o_orderstatus")), F.lit("-"), (F.col("o_orderkey") % 10).cast("string")
+        ).alias("tag"),
+    )
+
+
+@register(
+    "f10_content_hash",
+    """
+    SELECT doc_id, md5(text) AS content_md5, sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def f10_content_hash(spark, sf_dir):
+    """F10: content checksums (``asset_metadata.py:31-34``) — md5/sha2 hex
+    strings are engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+# =====================================================================
+# Deep joins / headline analytics (SURVEY §2.3/2.4; bench queries)
+# =====================================================================
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           epoch_us(o_orderdate) AS order_date_us
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style: selective dim filter → broadcast semi → fact join →
+    grouped sum → top-k. The customer filter is broadcast so the lineitem
+    scan never shuffles for it."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = _e4(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            _ts_us(F.col("o_orderdate")).alias("order_date_us"),
+        )
+        .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-style 6-way star join: all dims broadcast; one fact shuffle
+    for the final groupBy only."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = _e4(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
+
+
+# =====================================================================
+# Training-data pipeline ops: text analysis (SURVEY "beyond reference")
+# =====================================================================
+
+_DUCK_WORDS = "list_transform(regexp_split_to_array(TRIM(text), '\\s+'), w -> lower(w))"
+
+
+def _duck_shingles(n: int) -> str:
+    w = _DUCK_WORDS
+    return (
+        f"list_distinct(list_transform(generate_series(0, greatest(len({w})-{n}, 0)), "
+        f"i -> array_to_string(list_slice({w}, i+1, i+{n}), ' ')))"
+    )
+
+
+_STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+                                 w -> list_contains({_STOP_SQL}, lower(w))))
+                 / greatest(len(regexp_split_to_array(TRIM(text), '\\s+')), 1), 6) AS stopword_ratio,
+           round((length(text) - (len(regexp_split_to_array(TRIM(text), '\\s+')) - 1))
+                 / len(regexp_split_to_array(TRIM(text), '\\s+')), 6) AS mean_word_len,
+           (len(regexp_split_to_array(TRIM(text), '\\s+')) >= 5
+            AND round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) < 0.3
+            AND round((length(text) - (len(regexp_split_to_array(TRIM(text), '\\s+')) - 1))
+                      / len(regexp_split_to_array(TRIM(text), '\\s+')), 6) BETWEEN 2 AND 12) AS quality_keep
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring (length/punct/stopword ratios) — C4/Gopher-style
+    heuristics, all JVM column expressions."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.quality_score(d).select(
+        "doc_id", "n_words", "n_chars", "punct_ratio",
+        "stopword_ratio", "mean_word_len", "quality_keep",
+    )
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.token_count(d).select("doc_id", "n_words", "n_bpe_tokens")
+
+
+def _lang_hits_sql(code: str) -> str:
+    marks = "['" + "', '".join(X.LANG_MARKERS[code]) + "']"
+    return (
+        f"len(list_filter({_DUCK_WORDS}, w -> list_contains({marks}, w)))"
+    )
+
+@register(
+    "lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql('de')} AS de_h, {_lang_hits_sql('en')} AS en_h,
+             {_lang_hits_sql('es')} AS es_h, {_lang_hits_sql('fr')} AS fr_h
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN de_h > 0 AND de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+                WHEN en_h > 0 AND en_h >= es_h AND en_h >= fr_h THEN 'en'
+                WHEN es_h > 0 AND es_h >= fr_h THEN 'es'
+                WHEN fr_h > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-word argmax with deterministic ties)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return X.lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_aggregate(list_transform({_duck_shingles(3)}, s -> md5(s)), 'min') AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-hash over word-3-gram shingles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.fingerprint(d).select("doc_id", "fingerprint")
+
+
+# =====================================================================
+# Training-data pipeline ops: dedup family
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(substr(text, 1, 25)) AS content_hash,
+           COUNT(*) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents
+    GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups (prefix-25 content key so
+    the sf0.01 fixture actually has collisions)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 25).alias("text")
+    )
+    return D.exact_duplicates(d, "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_duck_shingles(2)}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted-index self-join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.ngram_jaccard_pairs(d, "doc_id", n=2, threshold=0.12)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_duck_shingles(2)}) AS shingle FROM documents
+    ), hk AS (
+      SELECT doc, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks
+      GROUP BY doc, k
+    ), band AS (
+      SELECT doc, CAST(floor(k / 2.0) AS INT) AS band,
+             array_to_string(list_sort(list(minhash)), '|') AS sig
+      FROM hk GROUP BY doc, CAST(floor(k / 2.0) AS INT)
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM band a JOIN band b USING (band, sig) WHERE a.doc < b.doc
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: shingle→K minhashes→band buckets→
+    bucket-local self-join (never O(n²))."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.minhash_lsh_candidates(d, "doc_id", n=2, k=8, bands=4)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {b+1}, 1) IN {hexhi} THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    concat = " || ".join(
+        f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id AS doc, md5(unnest({_DUCK_WORDS})) AS h FROM documents
+    ), s AS (
+      SELECT doc, {sums} FROM w GROUP BY doc
+    ), sig AS (
+      SELECT doc, {concat} AS simhash FROM s
+    )
+    SELECT simhash, COUNT(*) AS n_docs, list_sort(list(doc)) AS docs
+    FROM sig GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+@register("dedup_simhash", _simhash_sql(16))
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup clusters (16-bit signatures from md5 hex digits)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash_duplicates(d, "doc_id")
+
+
+# =====================================================================
+# Training-data pipeline ops: similarity search over embeddings
+# =====================================================================
+
+_DIMS = 64
+_COS_SQL = (
+    "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+    f"* sqrt({_DIMS}.0)), 6)"
+)
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT vec_id, {_COS_SQL} AS cos_sim
+    FROM embeddings
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the all-ones query vector — the ANN
+    baseline; executes as scan + TakeOrderedAndProject (no sort shuffle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, [1.0] * _DIMS, k=10)
+
+
+def _lsh_sql(n_planes: int = 4) -> str:
+    planes = S.plane_matrix(n_planes, _DIMS)
+    qbits = "".join(
+        "1" if sum(planes[p]) >= 0 else "0" for p in range(n_planes)
+    )
+    bit_exprs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"(CAST(embedding[{i+1}] AS DOUBLE) * {float(planes[p][i])})"
+            for i in range(_DIMS)
+        )
+        bit_exprs.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(bit_exprs)
+    return f"""
+    SELECT vec_id, {_COS_SQL} AS cos_sim
+    FROM embeddings
+    WHERE ({bucket}) = '{qbits}'
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+@register("ann_lsh_topk", _lsh_sql(4))
+def ann_lsh_topk(spark, sf_dir):
+    """ANN via random-hyperplane LSH: search only the query's bucket
+    (~n/2^planes of the data) then rank — the scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(e, [1.0] * _DIMS, dims=_DIMS, n_planes=4, k=10)
+
+
+@register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector math via higher-order functions (array<float> handling like
+    the engine's tokens columns)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.round(S.l2norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (mapInPandas over binary payloads)
+# =====================================================================
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           lower(hex(substr(text, 1, 4))) AS head_hex,
+           CAST(strlen(text) % 640 AS INT) AS fake_width,
+           CAST(strlen(text) % 480 AS INT) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: text→binary payload→Arrow-batched
+    mapInPandas feature extraction (decode stubbed deterministically;
+    the schema/batching/partitioning is the real multimodal path)."""
+    d = _t(spark, sf_dir, "documents")
+    return M.extract_features(M.to_binary_payload(d, "doc_id", "text"))

@@ -1,0 +1,102 @@
+"""LakeTable unit tests: atomic commit, bucket pruning, retention,
+crash-safety of the commit protocol."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.cdc import dedup_latest
+from omicidx_etl_spark.lake import LakeTable
+from omicidx_etl_spark.lake.table import bucket_expr
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def test_overwrite_and_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4)
+    base = datagen.gen_sequences(spark, 200, seed=1)
+    t.overwrite(base)
+    assert t.read().count() == 200
+    # bucket pruning returns exactly the rows hashing to those buckets
+    pruned = t.read(buckets=[0, 1]).count()
+    expected = base.withColumn("b", bucket_expr("doc_id", 4)).filter(
+        F.col("b").isin([0, 1])
+    ).count()
+    assert pruned == expected
+
+
+def test_merge_touches_only_affected_buckets(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=8)
+    t.overwrite(datagen.gen_sequences(spark, 400, seed=2))
+    before = t.snapshot()["buckets"]
+    one = spark.createDataFrame(
+        [(1, "U", "doc_00000007", [1, 2, 3], 3, "web")],
+        "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    snap = t.merge(dedup_latest(one))
+    assert snap["summary"]["touched_buckets"] == 1
+    after = snap["buckets"]
+    changed = [b for b in after if after[b] != before[b]]
+    assert len(changed) == 1
+    got = t.read().filter(F.col("doc_id") == "doc_00000007").first()
+    assert list(got["tokens"]) == [1, 2, 3]
+    assert t.read().count() == 400
+
+
+def test_commit_is_atomic_pointer_swap(spark, tmp_path):
+    """A crashed writer (data staged, pointer not swapped) must be invisible."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, key="doc_id", n_buckets=4)
+    t.overwrite(datagen.gen_sequences(spark, 100, seed=3))
+    n0 = t.read().count()
+    # simulate a crash: stage orphan data files without committing a snapshot
+    orphan = datagen.gen_sequences(spark, 50, seed=4).withColumn(
+        "__bucket", bucket_expr("doc_id", 4)
+    )
+    orphan.write.mode("overwrite").partitionBy("__bucket").parquet(
+        os.path.join(root, "data", "snap-999999999")
+    )
+    t2 = LakeTable.load(spark, root)
+    assert t2.read().count() == n0  # orphans not visible
+
+
+def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4)
+    t.overwrite(datagen.gen_sequences(spark, 100, seed=5))
+    for i in range(3):
+        ch = spark.createDataFrame(
+            [(i + 1, "U", f"doc_{i:08d}", [i], 1, "web")],
+            "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        t.merge(dedup_latest(ch), app_id="x", batch_id=i)
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted  # superseded bucket rewrites removed
+    assert t.read().count() == 100
+    assert len(t.history()) == 1
+
+
+def test_idempotent_batch_guard(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4)
+    ch = spark.createDataFrame(
+        [(1, "I", "a", [1], 1, "web")],
+        "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    s1 = t.merge(dedup_latest(ch), app_id="app", batch_id=0)
+    assert not s1["summary"]["skipped"]
+    s2 = t.merge(dedup_latest(ch), app_id="app", batch_id=0)
+    assert s2["summary"]["skipped"]
+    assert t.read().count() == 1
+    # a different app id is not blocked
+    s3 = t.merge(dedup_latest(ch), app_id="other", batch_id=0)
+    assert not s3["summary"]["skipped"]

@@ -1,0 +1,74 @@
+"""Operator-library unit tests: strategy equivalences and edge semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.cdc import dedup_latest
+from omicidx_etl_spark.operators import relational as R
+from omicidx_etl_spark.functions import multimodal as M
+
+
+def test_dedup_strategies_agree(spark):
+    ch = datagen.gen_changes(spark, 5000, 200, seed=31)
+    outs = {
+        m: dedup_latest(ch, method=m).orderBy("doc_id").collect()
+        for m in ["max_by", "window", "salted_window"]
+    }
+    assert outs["max_by"] == outs["window"] == outs["salted_window"]
+
+
+def test_surrogate_ids_scalable_equals_window(spark):
+    df = datagen.gen_sequences(spark, 1000, seed=32).select("doc_id")
+    a = R.surrogate_ids(df, "doc_id").orderBy("doc_id").collect()
+    b = R.scalable_surrogate_ids(df, "doc_id", partitions=7).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["row_id"]) for r in a] == [
+        (r["doc_id"], r["row_id"]) for r in b
+    ]
+
+
+def test_union_discriminated_schema(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "x int")
+    out = R.union_discriminated([(a, "a"), (b, "b")], "kind").collect()
+    assert sorted((r["x"], r["kind"]) for r in out) == [(1, "a"), (2, "b")]
+
+
+def test_exists_flag_null_safe(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1,)], "k int")
+    out = {r["k"]: r["flag"] for r in R.exists_flag(left, right, "k", "flag").collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    d = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    bin_df = M.to_binary_payload(d, "doc_id", "text")
+    import pytest
+
+    with pytest.raises(Exception):
+        M.extract_features(bin_df, fake=False).collect()
+    ok = M.extract_features(bin_df, fake=True).first()
+    assert ok["n_bytes"] == 5 and ok["head_hex"] == "68656c6c"
+
+
+def test_datagen_deterministic(spark):
+    a = datagen.gen_changes(spark, 500, 50, seed=42).collect()
+    b = datagen.gen_changes(spark, 500, 50, seed=42).collect()
+    assert a == b
+    c = datagen.gen_changes(spark, 500, 50, seed=43).collect()
+    assert a != c
+
+
+def test_datagen_invariants(spark):
+    ch = datagen.gen_changes(spark, 2000, 100, seed=1)
+    bad = ch.filter(
+        ((F.col("op") == "D") & F.col("tokens").isNotNull())
+        | ((F.col("op") != "D") & (F.size("tokens") != F.col("n_tok")))
+    )
+    assert bad.count() == 0
+    # full-snapshot prefix: first n_docs events insert each doc once
+    prefix = ch.filter(F.col("seq") <= 100)
+    assert prefix.filter(F.col("op") != "I").count() == 0
+    assert prefix.select("doc_id").distinct().count() == 100

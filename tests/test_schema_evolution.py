@@ -1,0 +1,98 @@
+"""Schema-evolution tests (SURVEY.md §5): add column + widen int32→int64
+mid-replay; old data files are never rewritten; reads align all schema
+generations; replay continues with the evolved change feed."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.cdc import replay_log
+from omicidx_etl_spark.lake import LakeTable
+
+
+def test_evolution_mid_replay(spark, tmp_path):
+    root = str(tmp_path / "t")
+    log1 = str(tmp_path / "log1")
+    log2 = str(tmp_path / "log2")
+    n_docs = 300
+
+    ch1 = datagen.gen_changes(spark, 3000, n_docs, seed=11)
+    datagen.write_change_log(ch1, log1, files=2)
+    ch2 = datagen.gen_changes_v2(spark, 2000, n_docs, seed=12, seq_start=3001)
+    datagen.write_change_log(ch2, log2, files=2)
+
+    schema = ch1.drop("seq", "op", "event_ts").schema
+    t = LakeTable.create(spark, root, schema, key="doc_id", n_buckets=8)
+    replay_log(spark, t, log1, chunk_events=1500, app_id="phase1")
+
+    # --- evolve: widen n_tok int->long, add quality double (A3 fixture) ---
+    t.widen_column("n_tok", T.LongType())
+    t.add_column("quality", T.DoubleType())
+    cur = t.current_schema()
+    assert cur["n_tok"].dataType == T.LongType()
+    assert "quality" in cur.fieldNames()
+
+    # old rows readable through the new schema, quality null
+    pre = t.read()
+    assert pre.schema["n_tok"].dataType == T.LongType()
+    assert pre.filter(F.col("quality").isNotNull()).count() == 0
+
+    replay_log(spark, t, log2, chunk_events=1000, app_id="phase2")
+
+    # oracle: apply both logs by seq; schema-align log1 (no quality)
+    exp = duckdb.sql(
+        f"""
+        WITH all_events AS (
+          SELECT seq, op, doc_id, tokens, CAST(n_tok AS BIGINT) n_tok, source,
+                 CAST(NULL AS DOUBLE) AS quality
+          FROM read_parquet('{log1}/*.parquet')
+          UNION ALL
+          SELECT seq, op, doc_id, tokens, n_tok, source, quality
+          FROM read_parquet('{log2}/*.parquet')
+        )
+        SELECT doc_id, tokens, n_tok, source, quality FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+          FROM all_events
+        ) WHERE rn = 1 AND op <> 'D' ORDER BY doc_id
+        """
+    ).df()
+    got = (
+        t.read()
+        .select("doc_id", "tokens", "n_tok", "source", "quality")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+    for g, e in zip(got["tokens"].tolist(), exp["tokens"].tolist()):
+        assert list(g) == list(e)
+    gq, eq = got["quality"].tolist(), exp["quality"].tolist()
+    for a, b in zip(gq, eq):
+        assert (a is None or a != a) and (b is None or b != b) or a == b
+
+
+def test_illegal_widen_rejected(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=2)
+    with pytest.raises(ValueError):
+        t.widen_column("n", T.IntegerType())  # narrowing
+
+
+def test_evolution_is_idempotent(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n", T.IntegerType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=2)
+    t.add_column("q", T.DoubleType())
+    sid = t.snapshot()["snapshot_id"]
+    t.add_column("q", T.DoubleType())  # no-op
+    t.widen_column("n", T.LongType())
+    t.widen_column("n", T.LongType())  # no-op
+    assert t.snapshot()["snapshot_id"] == sid + 1
