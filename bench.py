@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "replay": {...events/sec...}, "scaling": {...N vs 4N...}}
+
+Three parts:
+1. Headline operator queries from ``omicidx_etl_spark.queries`` timed at
+   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+   ``local[$SPARK_GRAFT_CPUS]``; each forced through a noop sink so every
+   column materializes (no collect-to-driver skew in the timing).
+2. Flagship CDC replay throughput (change-events/sec) — the BASELINE.json
+   north metric — replaying a cached deterministic change log
+   (``datagen.gen_changes``) into a LakeTable.
+3. Scaling-efficiency evidence per the north rule (>=0.8 from N to 4N
+   executors): the same replay at local[N] and local[4N] in clean
+   subprocesses (fresh JVM each, shuffle partitions = cores), reporting
+   events/sec at both and efficiency = (tput_4N / tput_N) / 4.
+   Skipped when SPARK_GRAFT_BENCH_SCALING=0.
+
+Usage:
+  python bench.py                    # full bench, one JSON line on stdout
+  python bench.py --replay-only --master local[8] --events 2000000 ...
+                                     # internal: used by the scaling runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench_cache")
+
+# Headline queries: one per operator family (windows/CDC, joins, aggs,
+# staging, dedup, ANN, text) — the full 39-query registry is exercised by
+# tests/test_oracle_parity.py; the bench times the representative hot paths.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "w1_latest_per_key",
+    "cdc_replay_events",
+    "topk_per_group",
+    "sessionize",
+    "j2_denormalize",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "token_count",
+    "doc_fingerprint",
+]
+
+TABLE_SCHEMA_FIELDS = [
+    ("doc_id", "string"),
+    ("tokens", "array<int>"),
+    ("n_tok", "int"),
+    ("source", "string"),
+]
+
+
+def _table_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+
+def ensure_change_log(spark, n_events: int, n_docs: int, seed: int, files: int) -> str:
+    """Generate-once cache of the deterministic change log (datagen is pure
+    column expressions — same (n, seed) is bit-identical, so the cache key
+    fully determines content)."""
+    from omicidx_etl_spark import datagen
+
+    path = os.path.join(CACHE, f"log_e{n_events}_d{n_docs}_s{seed}_f{files}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    ch = datagen.gen_changes(spark, n_events, n_docs, seed=seed)
+    datagen.write_change_log(ch, path, files=files)
+    return path
+
+
+def run_replay(spark, log_path: str, n_events: int, chunk: int, mode: str,
+               n_buckets: int, workdir: str, dedup: str = "max_by",
+               fanout: bool = False) -> dict:
+    """Replay the whole log into a fresh LakeTable; return throughput facts."""
+    from omicidx_etl_spark.cdc.replay import replay_log
+    from omicidx_etl_spark.lake.table import LakeTable
+
+    tbl_path = os.path.join(workdir, "bench_table")
+    shutil.rmtree(tbl_path, ignore_errors=True)
+    tbl = LakeTable.create(spark, tbl_path, _table_schema(), key="doc_id",
+                           n_buckets=n_buckets)
+    t0 = time.time()
+    snaps = replay_log(spark, tbl, log_path, chunk_events=chunk, mode=mode,
+                       dedup_method=dedup, fanout=fanout)
+    dt = time.time() - t0
+    rows = tbl.read().count()
+    return {
+        "events": n_events,
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt, 1),
+        "batches": len(snaps),
+        "final_rows": rows,
+        "mode": mode,
+        "dedup": dedup,
+        "fanout": fanout,
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from omicidx_etl_spark import queries as Q
+
+    reg = Q.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in reg:
+            continue
+        t0 = time.time()
+        df = reg[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _spark(master: str, cores: int):
+    from omicidx_etl_spark.session import get_spark
+
+    return get_spark("bench", master=master, shuffle_partitions=cores)
+
+
+def replay_only(args) -> None:
+    cores = int(args.master.split("[")[1].rstrip("]"))
+    if args.pin:
+        # Emulate a true N-core cluster node: restrict this process (and the
+        # child JVM) to N CPUs so GC/IO threads can't leak extra parallelism
+        # into the small-cluster measurement.
+        os.sched_setaffinity(0, set(range(cores)))
+    spark = _spark(args.master, cores)
+    log_path = ensure_change_log(spark, args.events, args.docs, args.seed, args.files)
+    workdir = os.path.join(CACHE, f"replay_{cores}")
+    res = run_replay(spark, log_path, args.events, args.chunk, args.mode,
+                     args.buckets, workdir, dedup=args.dedup, fanout=args.fanout)
+    spark.stop()
+    print(json.dumps(res))
+
+
+def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
+                  n_lo: int, n_hi: int, dedup: str = "max_by",
+                  fanout: bool = False) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (clean measurement)."""
+    out = {}
+    # hi first so the generated-log cache is built at full parallelism;
+    # 2 runs per level, keep the faster (page-cache warmup + host noise).
+    for cores in (n_hi, n_lo):
+        best = None
+        for _ in range(2):
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--replay-only",
+                "--master", f"local[{cores}]", "--events", str(n_events),
+                "--docs", str(n_docs), "--chunk", str(chunk), "--mode", mode,
+                "--dedup", dedup, "--pin",
+            ] + (["--fanout"] if fanout else [])
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
+            if best is None or res["events_per_sec"] > best["events_per_sec"]:
+                best = res
+        out[cores] = best
+    lo, hi = out[n_lo], out[n_hi]
+    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
+    return {
+        "cores_lo": n_lo,
+        "cores_hi": n_hi,
+        "events": n_events,
+        "mode": mode,
+        "events_per_sec_lo": lo["events_per_sec"],
+        "events_per_sec_hi": hi["events_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--replay-only", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--events", type=int, default=None)
+    p.add_argument("--docs", type=int, default=None)
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--mode", default=os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor"))
+    p.add_argument("--dedup", default=os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "max_by"))
+    p.add_argument("--fanout", action="store_true",
+                   default=os.environ.get("SPARK_GRAFT_BENCH_FANOUT", "0") == "1")
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--files", type=int, default=128)
+    p.add_argument("--pin", action="store_true")
+    p.add_argument("--skip-scaling", action="store_true")
+    args = p.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    # Replay size scales with sf: sf0.1 -> 2M events / 200k docs.
+    n_events = args.events or max(int(20_000_000 * sf), 100_000)
+    n_docs = args.docs or max(int(2_000_000 * sf), 10_000)
+    chunk = args.chunk or max(n_events // 4, 1)
+
+    if args.replay_only:
+        args.events, args.docs, args.chunk = n_events, n_docs, chunk
+        replay_only(args)
+        return
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _spark(f"local[{cpus}]", cpus)
+    q_times = bench_queries(spark, sf_dir)
+    log_path = ensure_change_log(spark, n_events, n_docs, args.seed, args.files)
+    replay = run_replay(spark, log_path, n_events, chunk, args.mode,
+                        args.buckets, os.path.join(CACHE, "replay_main"),
+                        dedup=args.dedup, fanout=args.fanout)
+    spark.stop()
+
+    scaling = None
+    if not args.skip_scaling and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        n_hi = cpus
+        n_lo = max(cpus // 4, 1)
+        scaling = scaling_study(n_events, n_docs, chunk, args.mode, n_lo, n_hi,
+                                dedup=args.dedup, fanout=args.fanout)
+
+    total = round(sum(q_times.values()) + replay["sec"], 3)
+    result = {
+        "metric": "headline-suite seconds (queries + CDC replay) at sf; "
+                  "replay.events_per_sec is the north-star throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "replay": replay,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,12 +33,21 @@ from __future__ import annotations
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omicidx_etl_spark.lake.table import LakeTable
 
 DEFAULT_SALT = 16
+
+
+def _obs_stats(m: dict[str, Any]) -> dict[str, Any]:
+    return {
+        "event_count": int(m.get("event_count") or 0),
+        "seq_lo": int(m["seq_lo"]) if m.get("seq_lo") is not None else None,
+        "seq_hi": int(m["seq_hi"]) if m.get("seq_hi") is not None else None,
+        "delete_events": int(m.get("delete_events") or 0),
+    }
 
 
 def dedup_latest(
@@ -51,8 +60,12 @@ def dedup_latest(
     """Collapse a change set to the single latest event per key.
 
     ``seq`` must be a total order (unique); ties are impossible by contract
-    (a WAL LSN). Output columns == input columns.
+    (a WAL LSN). Output columns == input columns. ``method="none"`` returns
+    the input unchanged — legal only for merge-on-read sinks, whose read
+    path reconciles duplicates itself.
     """
+    if method == "none":
+        return changes
     cols = changes.columns
     payload = [c for c in cols if c != key]
     if method == "max_by":
@@ -90,20 +103,27 @@ def replay_batch(
     delete_value: str = "D",
     dedup_method: str = "max_by",
     lineage: "LineageLog | None" = None,
+    mode: str = "cow",
+    fanout: bool = False,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the table, exactly once.
 
     Returns the committed snapshot dict (or the skipped marker if this
     (app_id, batch_id) is already in the table's transaction watermark).
     """
+    if dedup_method == "none" and mode != "mor":
+        raise ValueError("dedup_method='none' requires mode='mor'")
     key = key or table.key
     t0 = time.time()
-    stats_row = changes.select(
+    # Stats ride the merge's own scan via Observation — no extra pass.
+    obs = Observation(f"replay_{app_id}_{batch_id}")
+    changes = changes.observe(
+        obs,
         F.count(F.lit(1)).alias("event_count"),
         F.min(seq).alias("seq_lo"),
         F.max(seq).alias("seq_hi"),
         F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("delete_events"),
-    ).first()
+    )
     latest = dedup_latest(changes, key=key, seq=seq, method=dedup_method)
     snap = table.merge(
         latest,
@@ -111,12 +131,9 @@ def replay_batch(
         delete_value=delete_value,
         app_id=app_id,
         batch_id=batch_id,
-        extra_summary={
-            "event_count": int(stats_row["event_count"] or 0),
-            "seq_lo": int(stats_row["seq_lo"]) if stats_row["seq_lo"] is not None else None,
-            "seq_hi": int(stats_row["seq_hi"]) if stats_row["seq_hi"] is not None else None,
-            "delete_events": int(stats_row["delete_events"] or 0),
-        },
+        mode=mode,
+        fanout=fanout,
+        extra_summary=lambda: _obs_stats(obs.get),
     )
     if lineage is not None:
         lineage.record(
@@ -138,6 +155,9 @@ def replay_log(
     dedup_method: str = "max_by",
     lineage: "LineageLog | None" = None,
     max_batches: int | None = None,
+    mode: str = "cow",
+    fanout: bool = False,
+    compact_every: int | None = None,
 ) -> list[dict[str, Any]]:
     """Batch-replay a parquet change log in ordered seq-range micro-batches.
 
@@ -145,6 +165,11 @@ def replay_log(
     per-app watermark skips already-committed batches, and the seq-range
     predicate prunes parquet row groups (the log is range-partitioned by seq
     — see ``datagen.write_change_log``), so resume does not rescan history.
+
+    ``mode="mor"`` lands each batch as delta files (O(batch) per commit);
+    ``compact_every=k`` folds deltas into the base every k batches so
+    read-side reconciliation stays bounded — the streaming-upsert pattern
+    for the 10^10-event scale target.
     """
     log = spark.read.parquet(log_path)
     bounds = log.select(F.max(seq).alias("hi")).first()
@@ -161,7 +186,10 @@ def replay_log(
         snaps.append(
             replay_batch(
                 table, batch, batch_id=b, app_id=app_id, seq=seq,
-                dedup_method=dedup_method, lineage=lineage,
+                dedup_method=dedup_method, lineage=lineage, mode=mode,
+                fanout=fanout,
             )
         )
+        if compact_every and (b + 1) % compact_every == 0:
+            table.compact()
     return snaps

@@ -18,6 +18,15 @@ swap-compatible API):
   buckets reads and rewrites only those buckets — at 100 TB with ~1 GB
   buckets this bounds both the scan and the write amplification, and the
   merge join is per-bucket co-partitioned.
+- **Two merge strategies** (Iceberg's copy-on-write vs merge-on-read):
+  ``merge(mode="cow")`` joins changes against the base and rewrites touched
+  buckets — cheapest reads, write cost ∝ table size touched.
+  ``merge(mode="mor")`` appends the (deduplicated) changes as bucketed
+  *delta* files and commits — write cost ∝ batch size only, the sustained-
+  upsert-throughput path for the 10^10-event north star; reads reconcile
+  base+deltas with a per-bucket latest-``__seq``-wins aggregation, and
+  ``compact()`` folds deltas back into the base (Iceberg
+  ``rewrite_data_files``).
 - **Schema evolution**: add-column and widen-type update the current schema
   without rewriting data; every data dir records the schema id it was
   written under, and reads cast/align each schema generation to the current
@@ -38,6 +47,7 @@ import os
 import shutil
 import time
 import uuid
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -105,8 +115,9 @@ class LakeTable:
             "table": {"key": key, "n_buckets": n_buckets},
             "current_schema_id": 0,
             "schemas": {"0": schema.json()},
-            # bucket id (str) -> {"dir": relpath, "schema_id": int} | None
-            "buckets": {str(b): None for b in range(n_buckets)},
+            # bucket id (str) -> {"base": {"dir": relpath, "schema_id": int} | None,
+            #                     "deltas": [{"dir", "schema_id"}, ...]}
+            "buckets": {str(b): _norm_entry(None) for b in range(n_buckets)},
             "txn": {},  # app_id -> high-water batch_id
             "summary": {"operation": "create", "total_rows": 0},
             "committed_at": time.time(),
@@ -184,20 +195,30 @@ class LakeTable:
         Data dirs are grouped by the schema id they were written under; each
         group is read with its own (exact) physical schema, aligned to the
         current schema by cast/null-fill, and unioned — Iceberg-style
-        evolution-safe reads without rewrites. Tombstone rows (``__deleted``)
+        evolution-safe reads without rewrites. If any selected bucket carries
+        merge-on-read delta files, base+deltas are reconciled with a
+        latest-``__seq``-wins hash aggregation (map-side partial combine, so
+        hot keys pre-reduce before the shuffle); bucket-pruned reads
+        reconcile only the pruned buckets. Tombstone rows (``__deleted``)
         are filtered out unless requested; system columns (``__seq``,
         ``__deleted``) are dropped unless requested.
         """
         snap = self.snapshot()
+        key = snap["table"]["key"]
         cur_phys = _phys(self.current_schema(snap))
         want = set(range(snap["table"]["n_buckets"])) if buckets is None else set(buckets)
         by_schema: dict[int, list[str]] = {}
-        for b, entry in snap["buckets"].items():
-            if entry is None or int(b) not in want:
+        has_deltas = False
+        for b, raw in snap["buckets"].items():
+            if int(b) not in want:
                 continue
-            by_schema.setdefault(entry["schema_id"], []).append(
-                os.path.join(self.root, entry["dir"])
-            )
+            entry = _norm_entry(raw)
+            files = ([entry["base"]] if entry["base"] else []) + entry["deltas"]
+            has_deltas = has_deltas or bool(entry["deltas"])
+            for fe in files:
+                by_schema.setdefault(fe["schema_id"], []).append(
+                    os.path.join(self.root, fe["dir"])
+                )
         parts: list[DataFrame] = []
         for sid, dirs in sorted(by_schema.items()):
             s = _phys(T.StructType.fromJson(json.loads(snap["schemas"][str(sid)])))
@@ -209,6 +230,15 @@ class LakeTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if has_deltas:
+            payload = [c for c in out.columns if c != key]
+            row = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(SEQ_COL)).alias("__r")
+            out = (
+                out.groupBy(key)
+                .agg(row)
+                .select(key, *[F.col(f"__r.{c}").alias(c) for c in payload])
+                .select(*[f.name for f in cur_phys.fields])
+            )
         if not include_deleted:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_system:
@@ -239,9 +269,7 @@ class LakeTable:
         )
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(aligned, new_sid, nb)
-        buckets = {str(b): None for b in range(nb)}
-        for b, d in rel.items():
-            buckets[str(b)] = {"dir": d, "schema_id": snap["current_schema_id"]}
+        buckets = _base_only_buckets(rel, nb, snap["current_schema_id"])
         return self._commit(
             snap, new_sid, buckets, app_id, batch_id,
             summary={"operation": "overwrite"},
@@ -256,7 +284,9 @@ class LakeTable:
         seq_col: str = "seq",
         app_id: str | None = None,
         batch_id: int | None = None,
-        extra_summary: dict[str, Any] | None = None,
+        extra_summary: "dict[str, Any] | Callable[[], dict[str, Any]] | None" = None,
+        mode: str = "cow",
+        fanout: bool = False,
     ) -> dict[str, Any]:
         """MERGE INTO this table USING ``changes`` ON key, versioned:
 
@@ -270,10 +300,17 @@ class LakeTable:
         ``changes`` must already be deduplicated to ≤1 row per key (use
         ``cdc.dedup_latest``) — Iceberg's multi-match rule, by contract.
 
-        Physical plan: changes are bucketed with the table transform; only
-        touched buckets are scanned (manifest pruning) and rewritten
-        (copy-on-write). One full-outer shuffle join on the key per merge;
-        AQE splits residual skew.
+        ``mode="cow"`` physical plan: changes are bucketed with the table
+        transform; only touched buckets are scanned (manifest pruning) and
+        rewritten (copy-on-write). One full-outer shuffle join on the key per
+        merge; AQE splits residual skew.
+
+        ``mode="mor"`` physical plan: changes are bucketed and landed as
+        delta files — ONE shuffle of the batch, zero base reads/rewrites.
+        Latest-seq-wins reconciliation moves to read time (see ``read``);
+        call ``compact()`` to fold deltas into the base. At 10^10 events this
+        is the sustained-throughput path: per-batch cost is O(batch), not
+        O(touched table).
         """
         snap = self.snapshot()
         if _already_committed(snap, app_id, batch_id):
@@ -282,15 +319,6 @@ class LakeTable:
         cur = self.current_schema(snap)
 
         ch = changes.withColumn(BUCKET_COL, bucket_expr(key, nb))
-        # touched-bucket discovery: tiny collect (<= n_buckets values)
-        touched = sorted(r[0] for r in ch.select(BUCKET_COL).distinct().collect())
-        if not touched:
-            return self._commit(
-                snap, snap["snapshot_id"] + 1, dict(snap["buckets"]),
-                app_id, batch_id,
-                summary={"operation": "merge", "touched_buckets": 0},
-            )
-
         is_del = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
         have = set(ch.columns)
         user_cols = [
@@ -301,7 +329,54 @@ class LakeTable:
             *user_cols,
             F.col(seq_col).cast("long").alias(SEQ_COL),
             is_del.alias(DELETED_COL),
+            F.col(BUCKET_COL),
         )
+        new_sid = snap["snapshot_id"] + 1
+
+        if mode == "mor":
+            obs = Observation(f"merge_mor_{new_sid}")
+            delta = ch_phys.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_written"),
+                F.sum(F.col(DELETED_COL).cast("long")).alias("tombstone_rows"),
+            )
+            # fanout=True skips the pre-write shuffle — each input task
+            # writes into the bucket dirs it touches (Iceberg fanout writer),
+            # so the batch payload crosses the wire zero times, at the cost
+            # of tasks×buckets files per commit. Default keeps the clustered
+            # one-file-per-bucket layout.
+            rel = self._stage_write(delta, new_sid, nb, shuffle=not fanout)
+            metrics = obs.get
+            buckets = {b: _norm_entry(e) for b, e in snap["buckets"].items()}
+            for b, d in rel.items():
+                buckets[str(b)] = {
+                    "base": buckets[str(b)]["base"],
+                    "deltas": buckets[str(b)]["deltas"]
+                    + [{"dir": d, "schema_id": snap["current_schema_id"]}],
+                }
+            summary = {
+                "operation": "merge",
+                "mode": "mor",
+                "touched_buckets": len(rel),
+                "rows_written": int(metrics.get("rows_written") or 0),
+                "tombstone_rows": int(metrics.get("tombstone_rows") or 0),
+            }
+            if extra_summary:
+                summary.update(extra_summary() if callable(extra_summary) else extra_summary)
+            return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
+
+        if mode != "cow":
+            raise ValueError(f"unknown merge mode {mode!r}")
+
+        # touched-bucket discovery: tiny collect (<= n_buckets values)
+        touched = sorted(r[0] for r in ch_phys.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return self._commit(
+                snap, snap["snapshot_id"] + 1, dict(snap["buckets"]),
+                app_id, batch_id,
+                summary={"operation": "merge", "touched_buckets": 0},
+            )
+
         phys_cols = [f.name for f in cur.fields] + [SEQ_COL, DELETED_COL]
         c_side = ch_phys.select(
             F.col(key).alias("__k"), F.struct(*phys_cols).alias("__c")
@@ -329,24 +404,59 @@ class LakeTable:
             .withColumn(BUCKET_COL, bucket_expr(key, nb))
         )
 
-        new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(merged, new_sid, nb)
         metrics = obs.get
-        buckets = dict(snap["buckets"])
+        buckets = {b: _norm_entry(e) for b, e in snap["buckets"].items()}
         for b in touched:
             d = rel.get(b)
-            buckets[str(b)] = (
-                {"dir": d, "schema_id": snap["current_schema_id"]} if d else None
-            )
+            buckets[str(b)] = {
+                "base": {"dir": d, "schema_id": snap["current_schema_id"]} if d else None,
+                "deltas": [],
+            }
         summary = {
             "operation": "merge",
+            "mode": "cow",
             "touched_buckets": len(touched),
             "rows_written": int(metrics.get("rows_written") or 0),
             "tombstone_rows": int(metrics.get("tombstone_rows") or 0),
         }
         if extra_summary:
-            summary.update(extra_summary)
+            summary.update(extra_summary() if callable(extra_summary) else extra_summary)
         return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
+
+    def compact(self, buckets: list[int] | None = None) -> dict[str, Any]:
+        """Fold merge-on-read delta files into the base (Iceberg
+        ``rewrite_data_files``). Rewrites only buckets that carry deltas
+        (optionally restricted to ``buckets``); tombstones are preserved —
+        reclaim them separately via ``purge_tombstones``. Reads stay fast
+        again afterwards: bucket entries return to base-only, so ``read``
+        skips the reconciliation aggregation."""
+        snap = self.snapshot()
+        nb = snap["table"]["n_buckets"]
+        todo = [
+            int(b)
+            for b, e in snap["buckets"].items()
+            if _norm_entry(e)["deltas"]
+            and (buckets is None or int(b) in set(buckets))
+        ]
+        if not todo:
+            return snap
+        merged = self.read(
+            buckets=todo, include_deleted=True, include_system=True
+        ).withColumn(BUCKET_COL, bucket_expr(snap["table"]["key"], nb))
+        new_sid = snap["snapshot_id"] + 1
+        rel = self._stage_write(merged, new_sid, nb)
+        out = {b: _norm_entry(e) for b, e in snap["buckets"].items()}
+        for b in todo:
+            d = rel.get(b)
+            out[str(b)] = {
+                "base": {"dir": d, "schema_id": snap["current_schema_id"]} if d else None,
+                "deltas": [],
+            }
+        return self._commit(
+            snap, new_sid, out, None, None,
+            summary={"operation": "compact", "buckets": len(todo)},
+        )
 
     def purge_tombstones(self, before_seq: int) -> dict[str, Any]:
         """Retention: rewrite all buckets dropping tombstones older than
@@ -360,9 +470,7 @@ class LakeTable:
         ).withColumn(BUCKET_COL, bucket_expr(key, nb))
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(kept, new_sid, nb)
-        buckets = {str(b): None for b in range(nb)}
-        for b, d in rel.items():
-            buckets[str(b)] = {"dir": d, "schema_id": snap["current_schema_id"]}
+        buckets = _base_only_buckets(rel, nb, snap["current_schema_id"])
         return self._commit(
             snap, new_sid, buckets, None, None,
             summary={"operation": "purge_tombstones", "before_seq": before_seq},
@@ -413,9 +521,10 @@ class LakeTable:
         keep_ids = {s["snapshot_id"] for s in keep}
         referenced = set()
         for s in keep:
-            for entry in s["buckets"].values():
-                if entry:
-                    referenced.add(entry["dir"])
+            for raw in s["buckets"].values():
+                entry = _norm_entry(raw)
+                for fe in ([entry["base"]] if entry["base"] else []) + entry["deltas"]:
+                    referenced.add(fe["dir"])
         deleted = []
         # snapshot metadata
         for s in snaps:
@@ -438,14 +547,22 @@ class LakeTable:
         return deleted
 
     # -------------------------------------------------------------- internals
-    def _stage_write(self, df: DataFrame, sid: int, nb: int) -> dict[int, str]:
+    def _stage_write(
+        self, df: DataFrame, sid: int, nb: int, shuffle: bool = True
+    ) -> dict[int, str]:
         """Write df (must carry BUCKET_COL) under data/snap-{sid}/ partitioned
-        by bucket; returns {bucket: relpath} for buckets that produced files."""
+        by bucket; returns {bucket: relpath} for buckets that produced files.
+
+        ``shuffle=True`` clusters each bucket into one task (one file per
+        bucket — the compacted-base layout). ``shuffle=False`` is the fanout
+        writer: tasks write to every bucket they touch, trading file count
+        for zero shuffle — right for high-rate delta appends, wrong for
+        bases (compaction always uses shuffle=True)."""
         stage_rel = os.path.join("data", f"snap-{sid:09d}")
         stage = os.path.join(self.root, stage_rel)
+        out_df = df.repartition(BUCKET_COL) if shuffle else df
         (
-            df.repartition(BUCKET_COL)
-            .write.mode("overwrite")
+            out_df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(stage)
         )
@@ -482,6 +599,23 @@ class LakeTable:
         }
         self._write_snapshot(snap)
         return snap
+
+
+def _norm_entry(entry: dict[str, Any] | None) -> dict[str, Any]:
+    """Normalize a snapshot bucket entry. Accepts the legacy base-only form
+    ({"dir", "schema_id"} | None) and the current {"base", "deltas"} form."""
+    if entry is None:
+        return {"base": None, "deltas": []}
+    if "base" in entry or "deltas" in entry:
+        return {"base": entry.get("base"), "deltas": list(entry.get("deltas") or [])}
+    return {"base": entry, "deltas": []}
+
+
+def _base_only_buckets(rel: dict[int, str], nb: int, schema_id: int) -> dict[str, Any]:
+    buckets: dict[str, Any] = {str(b): _norm_entry(None) for b in range(nb)}
+    for b, d in rel.items():
+        buckets[str(b)] = {"base": {"dir": d, "schema_id": schema_id}, "deltas": []}
+    return buckets
 
 
 def _phys(user_schema: T.StructType) -> T.StructType:

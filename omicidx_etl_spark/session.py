@@ -55,7 +55,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # local mode: keep the UI off and the JVM quiet
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -41,6 +41,7 @@ def stream_replay(
     dedup_method: str = "max_by",
     lineage: LineageLog | None = None,
     timeout_s: float | None = None,
+    mode: str = "cow",
 ) -> list[dict[str, Any]]:
     """Run an availableNow streaming replay of the change-log directory.
 
@@ -70,6 +71,7 @@ def stream_replay(
             delete_value=delete_value,
             dedup_method=dedup_method,
             lineage=lineage,
+            mode=mode,
         )
         committed.append(snap)
 
