@@ -241,8 +241,12 @@ def main() -> None:
 
     scaling = None
     if not args.skip_scaling and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        n_hi = cpus
-        n_lo = max(cpus // 4, 1)
+        # N=2 vs 4N=8 pinned cores: both below the single-box memory-
+        # bandwidth ceiling (full-width token scans saturate ~8 cores here),
+        # so the pair measures the engine's parallel scaling, not the host's
+        # DRAM limit. See BENCH/BASELINE.md for the 8-vs-32 saturation data.
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+        n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
         scaling = scaling_study(n_events, n_docs, chunk, args.mode, n_lo, n_hi,
                                 dedup=args.dedup, fanout=args.fanout)
 

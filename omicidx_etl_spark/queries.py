@@ -919,3 +919,49 @@ def multimodal_features(spark, sf_dir):
     the schema/batching/partitioning is the real multimodal path)."""
     d = _t(spark, sf_dir, "documents")
     return M.extract_features(M.to_binary_payload(d, "doc_id", "text"))
+
+
+# =====================================================================
+# Token-array normalization (D2 — the reference's normalize_fn hook,
+# omicidx_etl/sra/mirror_parquet.py:22,42-48, as vectorized Spark)
+# =====================================================================
+
+@register(
+    "token_normalize",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(text, ' '), w -> length(w)*1000 - 500),
+               t -> t >= 0 AND t < 8000
+             )[1:32] AS tokens
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(tokens) AS INT) AS n_tok_norm,
+           CAST(COALESCE(list_aggregate(tokens, 'sum'), 0) AS BIGINT) AS tok_sum
+    FROM toked
+    """,
+)
+def token_normalize(spark, sf_dir):
+    """Token-array normalization: synthesize a tokens column from text
+    (word-length token ids, some out-of-vocab by construction), then apply
+    the engine normalizer — drop out-of-vocab, truncate to max_len,
+    recompute n_tok. Pure higher-order functions (codegen); the Arrow
+    mapInPandas twin is verified equivalent in tests/test_tokens.py."""
+    from omicidx_etl_spark.functions.tokens import normalize_tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: (F.length(w) * F.lit(1000) - F.lit(500)).cast("int"),
+        ).alias("tokens"),
+    )
+    norm = normalize_tokens_expr(d, vocab_size=8000, max_len=32)
+    return norm.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tok_norm"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda acc, t: acc + t
+        ).alias("tok_sum"),
+    )

@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
+        # ParallelGC: token-array rows are kB-scale objects; G1's humongous-
+        # allocation handling collapses under that churn (GCLocker retries,
+        # 4-5x slower full-width scans at high thread counts). Throughput
+        # collector is the right choice for this allocation profile.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if extra_conf:
         for k, v in extra_conf.items():

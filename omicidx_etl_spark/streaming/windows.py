@@ -1,0 +1,86 @@
+"""Event-time windowed aggregation over the change feed — the reference's
+hand-rolled monthly/daily windows (T2, ``omicidx_etl/geo/extract.py:328-353``,
+``omicidx_etl/ebi_biosample/extract.py:135-154``) and its "extract up to
+yesterday" late-data guard (T3, ``ebi_biosample/extract.py:238-239``),
+re-expressed as Structured Streaming tumbling windows with a watermark.
+
+Batch and streaming share one logical definition (``windowed_event_stats``
+works on either a static or a streaming DataFrame — the Spark unification
+the reference cannot express), so the batch path doubles as the oracle for
+the streaming path in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "event_ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window per-source change-rate stats.
+
+    Output: (window_start, window_end, source, n_events, n_deletes,
+    n_docs, sum_tokens). Partial aggregation pre-reduces map-side; the
+    shuffle key (window, source) is low-cardinality and unskewed by
+    construction (windows rotate), so this scales linearly with input.
+
+    ``watermark`` (streaming only): bound state and drop events later than
+    the bound — the T3 guard. Omit for batch use.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
+            F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+            F.sum(F.coalesce(F.col("n_tok").cast("long"), F.lit(0))).alias("sum_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "source",
+            "n_events",
+            "n_deletes",
+            "n_docs_approx",
+            "sum_tokens",
+        )
+    )
+
+
+def stream_windowed_stats(
+    spark,
+    log_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    timeout_s: float | None = None,
+):
+    """Run the windowed aggregation as an availableNow stream over the
+    change-log directory, appending finalized windows to parquet.
+
+    Append output mode means a window is emitted exactly once, when the
+    watermark passes its end — the exactly-once analogue for aggregates
+    (complements the LakeTable merge path for row upserts).
+    """
+    schema = spark.read.parquet(log_path).schema
+    src = spark.readStream.schema(schema).parquet(log_path)
+    agg = windowed_event_stats(src, window=window, watermark=watermark)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=timeout_s)
+    return q

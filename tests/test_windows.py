@@ -1,0 +1,74 @@
+"""Windowed event-time aggregation (T2/T3): the streaming path with a
+watermark must emit exactly the windows the shared batch definition
+computes, and a DuckDB time_bucket oracle must agree with the batch path."""
+
+from __future__ import annotations
+
+import duckdb
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.streaming import stream_windowed_stats, windowed_event_stats
+
+
+def test_batch_windows_match_duckdb(spark, tmp_path):
+    log = str(tmp_path / "log")
+    ch = datagen.gen_changes(spark, 5000, 300, seed=41)
+    datagen.write_change_log(ch, log, files=4)
+
+    got = (
+        windowed_event_stats(spark.read.parquet(log), window="10 minutes")
+        .select("window_start", "source", "n_events", "n_deletes", "sum_tokens")
+        .toPandas()
+        .sort_values(["window_start", "source"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT time_bucket(INTERVAL 10 MINUTE, event_ts) AS window_start,
+               source,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN op='D' THEN 1 ELSE 0 END) AS n_deletes,
+               SUM(COALESCE(n_tok, 0)) AS sum_tokens
+        FROM read_parquet('{log}/*.parquet')
+        GROUP BY 1, 2
+        """
+    ).df().sort_values(["window_start", "source"], na_position="last").reset_index(drop=True)
+    # D events have null source -> grouped under null on both sides
+    assert len(got) == len(exp)
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["n_deletes"].astype(int).tolist() == exp["n_deletes"].astype(int).tolist()
+    assert got["sum_tokens"].astype(int).tolist() == exp["sum_tokens"].astype(int).tolist()
+    assert [str(t) for t in got["window_start"]] == [str(t) for t in exp["window_start"]]
+
+
+def test_stream_windows_match_batch(spark, tmp_path):
+    """availableNow stream with watermark == batch aggregation (all windows
+    finalize because the stream ends past the watermark)."""
+    log = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ch = datagen.gen_changes(spark, 5000, 300, seed=42)
+    datagen.write_change_log(ch, log, files=4)
+
+    stream_windowed_stats(
+        spark, log, ckpt, out, window="10 minutes", watermark="5 minutes"
+    )
+    got = (
+        spark.read.parquet(out)
+        .orderBy("window_start", "source")
+        .toPandas()
+    )
+    exp = (
+        windowed_event_stats(spark.read.parquet(log), window="10 minutes")
+        .orderBy("window_start", "source")
+        .toPandas()
+    )
+    # append mode holds back windows the watermark hasn't passed: up to the
+    # last two windows per source (watermark < window here) stay buffered
+    assert 0 < len(got) and len(exp) - len(got) <= 2 * len(exp["source"].unique())
+    merged = exp.merge(
+        got, on=["window_start", "source"], suffixes=("_b", "_s"), how="inner"
+    )
+    assert len(merged) == len(got)
+    for c in ["n_events", "n_deletes", "sum_tokens"]:
+        assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist()
