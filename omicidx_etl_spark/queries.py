@@ -898,6 +898,37 @@ def embedding_norms(spark, sf_dir):
     )
 
 
+_PAIR_COS_SQL = (
+    "round("
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+)
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.label AS g, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_PAIR_COS_SQL} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS_SQL} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label: the self-join
+    cross product only forms inside a block (label = the LSH-bucket stand-in
+    at scale), never globally — O(sum b_i^2) not O(n^2). Threshold 0.35 is
+    calibrated to the synthetic random embeddings (max pair cos ~0.47);
+    real near-dup corpora use ~0.9."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.pairwise_topk_per_label(
+        e, id_col="vec_id", vec_col="embedding", label_col="label",
+        threshold=0.35,
+    )
+
+
 # =====================================================================
 # Multimodal plumbing (mapInPandas over binary payloads)
 # =====================================================================
