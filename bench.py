@@ -80,6 +80,30 @@ def _table_schema():
     )
 
 
+def _steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies for this VM (field 8 of /proc/stat cpu).
+    The sandbox host occasionally steals 10-70% of CPU for minutes at a
+    time; a throughput sample taken inside such an episode measures the
+    host, not the engine, so timed sections check this before/after and
+    retry stolen runs."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _steal_frac(steal_delta: int, wall_s: float, cores: int) -> float:
+    """Fraction of this run's CPU budget that the host stole (jiffies are
+    1/100 s; steal is VM-wide so normalize by all 32 host CPUs)."""
+    budget = max(wall_s, 0.001) * 32 * 100
+    return steal_delta / budget
+
+
+STEAL_OK = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_OK", "0.02"))
+
+
 def ensure_change_log(spark, n_events: int, n_docs: int, seed: int, files: int) -> str:
     """Generate-once cache of the deterministic change log (datagen is pure
     column expressions — same (n, seed) is bit-identical, so the cache key
@@ -98,30 +122,43 @@ def ensure_change_log(spark, n_events: int, n_docs: int, seed: int, files: int) 
 
 def run_replay(spark, log_path: str, n_events: int, chunk: int, mode: str,
                n_buckets: int, workdir: str, dedup: str = "max_by",
-               fanout: bool = False) -> dict:
+               fanout: bool = False, retries: int = 3) -> dict:
     """Replay the whole log into a fresh LakeTable; return throughput facts."""
     from omicidx_etl_spark.cdc.replay import replay_log
     from omicidx_etl_spark.lake.table import LakeTable
 
     tbl_path = os.path.join(workdir, "bench_table")
     shutil.rmtree(tbl_path, ignore_errors=True)
-    tbl = LakeTable.create(spark, tbl_path, _table_schema(), key="doc_id",
-                           n_buckets=n_buckets)
-    t0 = time.time()
-    snaps = replay_log(spark, tbl, log_path, chunk_events=chunk, mode=mode,
-                       dedup_method=dedup, fanout=fanout)
-    dt = time.time() - t0
-    rows = tbl.read().count()
-    return {
-        "events": n_events,
-        "sec": round(dt, 3),
-        "events_per_sec": round(n_events / dt, 1),
-        "batches": len(snaps),
-        "final_rows": rows,
-        "mode": mode,
-        "dedup": dedup,
-        "fanout": fanout,
-    }
+    # Retry if the host stole a meaningful share of CPU mid-run (the sample
+    # would measure the noisy neighbor, not the engine); keep the best.
+    best = None
+    for attempt in range(max(retries, 1)):
+        tbl = LakeTable.create(spark, tbl_path, _table_schema(), key="doc_id",
+                               n_buckets=n_buckets)
+        s0 = _steal_jiffies()
+        t0 = time.time()
+        snaps = replay_log(spark, tbl, log_path, chunk_events=chunk, mode=mode,
+                           dedup_method=dedup, fanout=fanout)
+        dt = time.time() - t0
+        stolen = _steal_frac(_steal_jiffies() - s0, dt, 32)
+        rows = tbl.read().count()
+        res = {
+            "events": n_events,
+            "sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "batches": len(snaps),
+            "final_rows": rows,
+            "mode": mode,
+            "dedup": dedup,
+            "fanout": fanout,
+            "steal_frac": round(stolen, 4),
+        }
+        if best is None or res["events_per_sec"] > best["events_per_sec"]:
+            best = res
+        if stolen <= STEAL_OK:
+            break
+        shutil.rmtree(tbl_path, ignore_errors=True)
+    return best
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -155,8 +192,10 @@ def replay_only(args) -> None:
     spark = _spark(args.master, cores)
     log_path = ensure_change_log(spark, args.events, args.docs, args.seed, args.files)
     workdir = os.path.join(CACHE, f"replay_{cores}")
+    # single attempt here: the parent scaling loop handles steal retries
     res = run_replay(spark, log_path, args.events, args.chunk, args.mode,
-                     args.buckets, workdir, dedup=args.dedup, fanout=args.fanout)
+                     args.buckets, workdir, dedup=args.dedup,
+                     fanout=args.fanout, retries=1)
     spark.stop()
     print(json.dumps(res))
 
@@ -167,10 +206,13 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
     """Same job, two parallelism levels, fresh JVM each (clean measurement)."""
     out = {}
     # hi first so the generated-log cache is built at full parallelism;
-    # 2 runs per level, keep the faster (page-cache warmup + host noise).
+    # >=2 runs per level, keep the faster (page-cache warmup + host noise);
+    # extra attempts when the host stole CPU mid-run (steal_frac from
+    # /proc/stat) — a stolen sample measures the neighbor, not the engine.
     for cores in (n_hi, n_lo):
         best = None
-        for _ in range(2):
+        clean = 0
+        for _ in range(5):
             cmd = [
                 sys.executable, os.path.abspath(__file__), "--replay-only",
                 "--master", f"local[{cores}]", "--events", str(n_events),
@@ -183,6 +225,10 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             res = json.loads(line)
             if best is None or res["events_per_sec"] > best["events_per_sec"]:
                 best = res
+            if res.get("steal_frac", 0.0) <= STEAL_OK:
+                clean += 1
+            if clean >= 2:
+                break
         out[cores] = best
     lo, hi = out[n_lo], out[n_hi]
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
@@ -194,6 +240,8 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         "events_per_sec_lo": lo["events_per_sec"],
         "events_per_sec_hi": hi["events_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "steal_frac_lo": lo.get("steal_frac"),
+        "steal_frac_hi": hi.get("steal_frac"),
     }
 
 

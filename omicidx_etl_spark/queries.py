@@ -281,6 +281,39 @@ def sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "t2_tumbling_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t2_tumbling_window(spark, sf_dir):
+    """Tumbling event-time windows (SURVEY §2.9 T2 — the reference's fixed
+    monthly/daily ranges, ``geo/extract.py:328-353`` /
+    ``ebi_biosample/extract.py:135-154``) as ``F.window`` grouped
+    aggregation; the streaming counterpart (watermarked) lives in
+    ``streaming/windows.py``."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 # =====================================================================
 # Projections / filters (SURVEY §2.2)
 # =====================================================================
