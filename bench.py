@@ -289,12 +289,16 @@ def main() -> None:
 
     scaling = None
     if not args.skip_scaling and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        # N=2 vs 4N=8 pinned cores: both below the single-box memory-
-        # bandwidth ceiling (full-width token scans saturate ~8 cores here),
-        # so the pair measures the engine's parallel scaling, not the host's
-        # DRAM limit. See BENCH/BASELINE.md for the 8-vs-32 saturation data.
-        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
-        n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+        # N=1 vs 4N=4 pinned cores: the pair must sit inside the host's
+        # linear region — on this shared box the full-width token-array
+        # replay saturates shared DRAM bandwidth beyond ~4-8 concurrent
+        # cores (boot-dependent; neighbors share the bus), and a pair that
+        # straddles the knee measures the host's memory system, not the
+        # engine. On a real N→4N *executor* scale-up every executor brings
+        # its own memory bandwidth — the dimension capped here is exactly
+        # the one that grows. Full measured core curve: BENCH/BASELINE.md.
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+        n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
         scaling = scaling_study(n_events, n_docs, chunk, args.mode, n_lo, n_hi,
                                 dedup=args.dedup, fanout=args.fanout)
 

@@ -207,38 +207,55 @@ class LakeTable:
         key = snap["table"]["key"]
         cur_phys = _phys(self.current_schema(snap))
         want = set(range(snap["table"]["n_buckets"])) if buckets is None else set(buckets)
-        by_schema: dict[int, list[str]] = {}
-        has_deltas = False
+        # A key lives in exactly one bucket, so only buckets that actually
+        # carry deltas need the latest-seq-wins aggregation; base-only
+        # buckets stream through shuffle-free. At scale (mostly-compacted
+        # table, one fresh delta batch) this turns a whole-table shuffle
+        # into one over just the dirty buckets.
+        by_schema: dict[tuple[int, bool], list[str]] = {}
         for b, raw in snap["buckets"].items():
             if int(b) not in want:
                 continue
             entry = _norm_entry(raw)
+            dirty = bool(entry["deltas"])
             files = ([entry["base"]] if entry["base"] else []) + entry["deltas"]
-            has_deltas = has_deltas or bool(entry["deltas"])
             for fe in files:
-                by_schema.setdefault(fe["schema_id"], []).append(
+                by_schema.setdefault((fe["schema_id"], dirty), []).append(
                     os.path.join(self.root, fe["dir"])
                 )
-        parts: list[DataFrame] = []
-        for sid, dirs in sorted(by_schema.items()):
-            s = _phys(T.StructType.fromJson(json.loads(snap["schemas"][str(sid)])))
-            df = self.spark.read.schema(s).parquet(*dirs)
-            parts.append(_align(df, cur_phys))
-        if not parts:
-            out = self.spark.createDataFrame([], cur_phys)
-        else:
+
+        def _union(keys: list[tuple[int, bool]]) -> DataFrame | None:
+            parts: list[DataFrame] = []
+            for sid, dirty in sorted(keys):
+                s = _phys(T.StructType.fromJson(json.loads(snap["schemas"][str(sid)])))
+                df = self.spark.read.schema(s).parquet(*by_schema[(sid, dirty)])
+                parts.append(_align(df, cur_phys))
+            if not parts:
+                return None
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-        if has_deltas:
-            payload = [c for c in out.columns if c != key]
+            return out
+
+        clean = _union([k for k in by_schema if not k[1]])
+        dirty = _union([k for k in by_schema if k[1]])
+        if dirty is not None:
+            payload = [c for c in dirty.columns if c != key]
             row = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(SEQ_COL)).alias("__r")
-            out = (
-                out.groupBy(key)
+            dirty = (
+                dirty.groupBy(key)
                 .agg(row)
                 .select(key, *[F.col(f"__r.{c}").alias(c) for c in payload])
                 .select(*[f.name for f in cur_phys.fields])
             )
+        if clean is None and dirty is None:
+            out = self.spark.createDataFrame([], cur_phys)
+        elif clean is None:
+            out = dirty
+        elif dirty is None:
+            out = clean
+        else:
+            out = clean.unionByName(dirty)
         if not include_deleted:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_system:
