@@ -156,3 +156,30 @@ def ordered_export(df: DataFrame, path: str, order_col: str, fmt: str = "parquet
         .format(fmt)
         .save(path)
     )
+
+
+# ----------------------------------------------------------- map flattening
+def flatten_map_column(
+    df: DataFrame,
+    map_col: str,
+    out_col: str | None = None,
+    key_name: str = "characteristic",
+    value_name: str = "text",
+) -> DataFrame:
+    """D3: map → array-of-struct flattener. The reference deliberately
+    demotes JSON maps to ``array<struct{characteristic, …}>`` because
+    arrays process better in columnar engines
+    (``omicidx_etl/ebi_biosample/extract.py:96-100``; rationale in
+    ``ebi_biosample/README.md`` §"Schema Transformation"). Pure
+    higher-order expression (``map_entries`` + ``transform``) — no UDF,
+    no shuffle."""
+    out = out_col or map_col
+    entries = F.map_entries(F.col(map_col))
+    flat = F.transform(
+        entries,
+        lambda e: F.struct(
+            e.getField("key").alias(key_name),
+            e.getField("value").alias(value_name),
+        ),
+    )
+    return df.withColumn(out, flat)

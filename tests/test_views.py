@@ -1,0 +1,50 @@
+"""View layer (S14/A2) + map flattener (D3)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from omicidx_etl_spark.operators import relational as R
+from omicidx_etl_spark.plans import views as V
+from tests.conftest import SF_SMALL
+
+
+def test_build_views_and_census(spark):
+    names = V.build_views(spark, SF_SMALL)
+    assert names == sorted(V.VIEW_SQL)
+    cen = {r.table_name: r.row_count for r in V.census(spark).collect()}
+    assert set(cen) == set(names)
+    # census counts must equal a DuckDB census over the same definitions
+    con = duckdb.connect()
+    for t in V.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    for name, sql in V.VIEW_SQL.items():
+        assert cen[name] == con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0], name
+
+
+def test_views_are_lazy_and_queryable(spark):
+    V.build_views(spark, SF_SMALL)
+    out = spark.sql(
+        "SELECT region, count(*) AS n FROM v_orders_denorm GROUP BY region"
+    )
+    assert out.count() > 0
+    flagged = spark.table("v_customer_has_orders")
+    assert flagged.filter(F.col("has_orders")).count() > 0
+
+
+def test_flatten_map_column(spark):
+    df = spark.createDataFrame(
+        [(1, {"organism": "human", "tissue": "liver"}), (2, {})],
+        "id int, chars map<string,string>",
+    )
+    flat = R.flatten_map_column(df, "chars")
+    row = {r.id: r.chars for r in flat.collect()}
+    assert sorted((e.characteristic, e.text) for e in row[1]) == [
+        ("organism", "human"),
+        ("tissue", "liver"),
+    ]
+    assert row[2] == []
+    # array<struct> schema, not map (the reference's columnar-friendly shape)
+    f = dict(flat.dtypes)["chars"]
+    assert f.startswith("array<struct")
