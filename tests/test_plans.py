@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions — the scale-awareness contract.
+
+A correct result with a wrong plan stops being correct at 100 TB; these
+tests pin the plan properties the engine relies on:
+filter pushdown reaching the parquet scan, column pruning in ReadSchema,
+broadcast joins for small dimensions, map-side partial aggregation, and
+LIMIT short-circuiting as TakeOrderedAndProject (no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from omicidx_etl_spark import queries as Q
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = Q._REGISTRY[name][0](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scans(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+def test_filter_pushed_to_scan(spark):
+    """P8: the date-range predicate must reach the parquet reader
+    (row-group stats pruning at scale), not run post-scan only."""
+    plan = _plan(spark, "p8_date_range")
+    scan = _scans(plan)[0]
+    assert "DataFilters: [" in scan and "ts" in scan.split("DataFilters:")[1]
+
+
+def test_column_pruning(spark):
+    """P1: a projection query must scan only the referenced columns —
+    a scan reading all columns for a narrow projection is wrong."""
+    plan = _plan(spark, "p_staging_projection")
+    scan = _scans(plan)[0]
+    cols = scan.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    read = {c.split("#")[0] for c in cols.split(",")}
+    assert read == {"p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"}
+    # notably absent: p_mfgr, p_type, p_container, p_comment
+    assert "p_comment" not in read and "p_type" not in read
+
+
+def test_small_dims_broadcast(spark):
+    """J2/Q5: region/nation/supplier dimensions must broadcast — a
+    shuffle join against a 5-row dim table wastes a full exchange of the
+    fact side."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_partial_aggregation(spark):
+    """A3: grouped SUM must combine map-side (partial_sum before the
+    exchange, final after) — this is also the skew defense for hot keys."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_no_global_sort(spark):
+    """O2: ORDER BY + LIMIT must execute as TakeOrderedAndProject (per-
+    partition top-k + driver merge), never a total sort shuffle."""
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dedup_maxby_is_combinable(spark):
+    """W1/CDC core: the latest-per-key dedup must be a hash aggregation
+    with map-side partial combine (hot keys pre-reduce per partition), not
+    a window over a whole-key shuffle."""
+    from omicidx_etl_spark.cdc.replay import dedup_latest
+
+    log = spark.read.parquet(f"{SF_SMALL}/events.parquet").selectExpr(
+        "event_id as seq", "user_id as doc_id", "event_type as op", "value"
+    )
+    plan = (
+        dedup_latest(log, key="doc_id", seq="seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "w1_latest_per_key", "token_count"]
+)
+def test_whole_stage_codegen(spark, name):
+    """Hot paths stay inside whole-stage codegen (no Python in the loop).
+    AQE finalizes the physical plan lazily, so execute first and assert on
+    the final plan."""
+    df = Q._REGISTRY[name][0](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans render as "*(n) Operator" in the finalized AQE plan
+    assert re.search(r"\*\(\d+\) ", plan), plan[:500]
