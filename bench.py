@@ -165,6 +165,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from omicidx_etl_spark import queries as Q
 
     reg = Q.queries()
+    # untimed warmup: JVM/JIT/codegen + parquet footer caches, so the first
+    # timed query doesn't absorb session startup (standard bench hygiene)
+    reg[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
     for name in HEADLINE:
         if name not in reg:
