@@ -26,32 +26,11 @@ _SHIPPED: set[int] = set()
 def _ship_package(spark: SparkSession) -> None:
     """Make ``omicidx_etl_spark`` importable on Python workers regardless of
     the driver's cwd/sys.path (mapInPandas / pandas UDFs unpickle by module
-    name). Zips the package once and addPyFile()s it per SparkContext —
-    the same mechanism ``spark-submit --py-files`` uses."""
-    sc = spark.sparkContext
-    key = id(sc)
-    if key in _SHIPPED:
-        return
-    import tempfile
-    import zipfile
+    name) — delegates to the package's own shipping helper, the same
+    mechanism ``spark-submit --py-files`` uses."""
+    from omicidx_etl_spark.session import ensure_worker_package
 
-    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "omicidx_etl_spark")
-    zpath = os.path.join(tempfile.gettempdir(), "omicidx_etl_spark_pyfiles.zip")
-    if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-        os.replace(tmp, zpath)
-    try:
-        sc.addPyFile(zpath)
-    except Exception:
-        pass  # already registered on this context
-    _SHIPPED.add(key)
+    ensure_worker_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -74,4 +74,7 @@ def extract_features(
             out["fake_height"] = (out["n_bytes"] % 480).astype("int32")
             yield out
 
+    from omicidx_etl_spark.session import ensure_worker_package
+
+    ensure_worker_package(binary_df.sparkSession)
     return binary_df.mapInPandas(gen, FEATURE_SCHEMA)

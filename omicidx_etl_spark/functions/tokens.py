@@ -87,4 +87,7 @@ def normalize_tokens_arrow(
             )
             yield pdf
 
+    from omicidx_etl_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
     return df.mapInPandas(gen, schema)

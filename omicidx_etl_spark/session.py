@@ -79,3 +79,42 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_worker_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/sys.path — mapInPandas / applyInPandas(WithState) UDFs
+    unpickle by module name on the worker. Zips the package once per
+    process and addPyFile()s it per SparkContext (the same mechanism
+    ``spark-submit --py-files`` uses). No-op when the package is already
+    running from a --py-files zip, or on repeat calls."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if os.path.isdir(pkg_dir):
+        import tempfile
+        import zipfile
+
+        zpath = os.path.join(tempfile.gettempdir(), "omicidx_etl_spark_pyfiles.zip")
+        if not os.path.exists(zpath):
+            tmp = zpath + f".tmp-{os.getpid()}"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in sorted(files):
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.join(
+                                "omicidx_etl_spark",
+                                os.path.relpath(full, pkg_dir),
+                            )
+                            z.write(full, rel)
+            os.replace(tmp, zpath)
+        try:
+            sc.addPyFile(zpath)
+        except Exception:
+            pass  # already registered on this context
+    _SHIPPED_CONTEXTS.add(id(sc))

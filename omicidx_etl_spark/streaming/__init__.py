@@ -1,7 +1,13 @@
 from omicidx_etl_spark.streaming.replay import stream_replay
+from omicidx_etl_spark.streaming.stateful import doc_change_stats
 from omicidx_etl_spark.streaming.windows import (
     stream_windowed_stats,
     windowed_event_stats,
 )
 
-__all__ = ["stream_replay", "stream_windowed_stats", "windowed_event_stats"]
+__all__ = [
+    "doc_change_stats",
+    "stream_replay",
+    "stream_windowed_stats",
+    "windowed_event_stats",
+]
