@@ -20,8 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from omicidx_etl_spark import queries as _Q  # noqa: E402
 
-_SHIPPED: set[int] = set()
-
 
 def _ship_package(spark: SparkSession) -> None:
     """Make ``omicidx_etl_spark`` importable on Python workers regardless of

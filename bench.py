@@ -94,10 +94,13 @@ def _steal_jiffies() -> int:
         return 0
 
 
-def _steal_frac(steal_delta: int, wall_s: float, cores: int) -> float:
+HOST_CPUS = os.cpu_count() or 32
+
+
+def _steal_frac(steal_delta: int, wall_s: float) -> float:
     """Fraction of this run's CPU budget that the host stole (jiffies are
-    1/100 s; steal is VM-wide so normalize by all 32 host CPUs)."""
-    budget = max(wall_s, 0.001) * 32 * 100
+    1/100 s; steal is VM-wide so normalize by every host CPU)."""
+    budget = max(wall_s, 0.001) * HOST_CPUS * 100
     return steal_delta / budget
 
 
@@ -140,7 +143,7 @@ def run_replay(spark, log_path: str, n_events: int, chunk: int, mode: str,
         snaps = replay_log(spark, tbl, log_path, chunk_events=chunk, mode=mode,
                            dedup_method=dedup, fanout=fanout)
         dt = time.time() - t0
-        stolen = _steal_frac(_steal_jiffies() - s0, dt, 32)
+        stolen = _steal_frac(_steal_jiffies() - s0, dt)
         rows = tbl.read().count()
         res = {
             "events": n_events,
@@ -167,7 +170,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     reg = Q.queries()
     # untimed warmup: JVM/JIT/codegen + parquet footer caches, so the first
     # timed query doesn't absorb session startup (standard bench hygiene)
-    reg[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm = next((n for n in HEADLINE if n in reg), None)
+    if warm is not None:
+        reg[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
     for name in HEADLINE:
         if name not in reg:

@@ -23,14 +23,19 @@ from omicidx_etl_spark.functions.text import shingles_expr
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids)."""
+    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids).
+
+    ``doc_ids`` is a sorted comma-joined string, not array<string>: the
+    group membership is the same information, but a scalar column stays
+    hashable/sortable for downstream engines (pandas canonicalizers choke
+    on list cells) and writes smaller parquet."""
     h = F.md5(F.col(text_col)).alias("content_hash")
     return (
         df.select(h, F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.array_join(F.sort_array(F.collect_list(id_col)), ",").alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -153,10 +158,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) 
 
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Docs whose SimHash signatures collide (near-dup clusters)."""
+    """Docs whose SimHash signatures collide exactly (0-distance clusters).
+
+    ``docs`` is a sorted comma-joined string (scalar, hashable — see
+    exact_duplicates). For Hamming-distance ≤ k near-dups use
+    :func:`simhash_near_pairs`."""
     s = simhash(df, id_col, text_col)
     return (
         s.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list("doc")), ",").alias("docs"),
+        )
         .filter(F.col("n_docs") > 1)
     )

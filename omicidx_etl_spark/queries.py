@@ -769,7 +769,7 @@ def doc_fingerprint(spark, sf_dir):
     """
     SELECT md5(substr(text, 1, 25)) AS content_hash,
            COUNT(*) AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM documents
     GROUP BY content_hash HAVING COUNT(*) > 1
     """,
@@ -849,7 +849,7 @@ def _simhash_sql(bits: int = 16) -> str:
     ), sig AS (
       SELECT doc, {concat} AS simhash FROM s
     )
-    SELECT simhash, COUNT(*) AS n_docs, list_sort(list(doc)) AS docs
+    SELECT simhash, COUNT(*) AS n_docs, array_to_string(list_sort(list(doc)), ',') AS docs
     FROM sig GROUP BY simhash HAVING COUNT(*) > 1
     """
 

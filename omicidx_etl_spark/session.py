@@ -96,22 +96,41 @@ def ensure_worker_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if os.path.isdir(pkg_dir):
+        import hashlib
         import tempfile
         import zipfile
 
-        zpath = os.path.join(tempfile.gettempdir(), "omicidx_etl_spark_pyfiles.zip")
-        if not os.path.exists(zpath):
+        # Deterministic walk; the zip name is keyed on a content hash of the
+        # package sources so an edited source always ships a fresh zip
+        # (a fixed name would let workers import a stale cached copy), and a
+        # pre-created foreign file at the path can never be shipped: we only
+        # reuse a zip whose name already encodes the bytes we would write.
+        entries: list[tuple[str, str]] = []
+        digest = hashlib.sha256()
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "omicidx_etl_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    entries.append((full, rel))
+                    digest.update(rel.encode())
+                    with open(full, "rb") as fh:
+                        digest.update(fh.read())
+        sha = digest.hexdigest()[:16]
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"omicidx_etl_spark_pyfiles-{sha}.zip"
+        )
+        if not (
+            os.path.exists(zpath)
+            and os.stat(zpath).st_uid == os.getuid()
+        ):
             tmp = zpath + f".tmp-{os.getpid()}"
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    for f in sorted(files):
-                        if f.endswith(".py"):
-                            full = os.path.join(root, f)
-                            rel = os.path.join(
-                                "omicidx_etl_spark",
-                                os.path.relpath(full, pkg_dir),
-                            )
-                            z.write(full, rel)
+                for full, rel in entries:
+                    z.write(full, rel)
             os.replace(tmp, zpath)
         try:
             sc.addPyFile(zpath)

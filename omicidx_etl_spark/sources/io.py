@@ -68,6 +68,12 @@ def current_change_batch(
     loop. Input: a manifest DataFrame (one row per feed file). Output: the
     rows forming the current batch, with ``is_full`` flag.
 
+    Deliberate divergence from the reference: when an entity has NO Full
+    snapshot, the reference marks all its Incrementals as in-batch
+    (``mirror.py:119-128``); this drops the entity instead — incrementals
+    without a base snapshot replay into an incomplete table, so the safer
+    contract is to surface the entity only once its Full lands.
+
     Scale: the manifest is file metadata (rows ≈ file count), so the
     window shuffle is trivial next to the data it gates."""
     w = Window.partitionBy(entity_col)

@@ -101,5 +101,6 @@ def test_current_change_batch(spark, manifest):
         ("2026-01-04", "Incremental", False),
         ("2026-01-05", "Incremental", False),
     ]
-    # an entity with no Full snapshot has no replayable batch (mirror.py:93-145)
+    # deliberate divergence from mirror.py:119-128 (which marks base-less
+    # incrementals in-batch): without a Full base the entity is dropped
     assert not [r for r in got if r.entity == "B"]
