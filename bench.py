@@ -16,8 +16,12 @@ Three parts:
    (``datagen.gen_changes``) into a LakeTable.
 3. Scaling-efficiency evidence per the north rule (>=0.8 from N to 4N
    executors): the same replay at local[N] and local[4N] in clean
-   subprocesses (fresh JVM each, shuffle partitions = cores), reporting
-   events/sec at both and efficiency = (tput_4N / tput_N) / 4.
+   subprocesses (fresh JVM each, shuffle partitions = cores, JIT warmed by
+   an untimed replay batch, CPUs pinned to a stride-spread set — adjacent
+   vCPUs share host resources and measure ~40% slow). Samples are taken as
+   interleaved (lo, hi) pairs so a host-contention episode degrades both
+   levels of a pair instead of one level of the study; the headline
+   efficiency is the median of per-pair efficiencies over >=3 clean pairs.
    Skipped when SPARK_GRAFT_BENCH_SCALING=0.
 
 Usage:
@@ -125,7 +129,8 @@ def ensure_change_log(spark, n_events: int, n_docs: int, seed: int, files: int) 
 
 def run_replay(spark, log_path: str, n_events: int, chunk: int, mode: str,
                n_buckets: int, workdir: str, dedup: str = "max_by",
-               fanout: bool = False, retries: int = 3) -> dict:
+               fanout: bool = False, retries: int = 3,
+               max_batches: int | None = None) -> dict:
     """Replay the whole log into a fresh LakeTable; return throughput facts."""
     from omicidx_etl_spark.cdc.replay import replay_log
     from omicidx_etl_spark.lake.table import LakeTable
@@ -141,7 +146,8 @@ def run_replay(spark, log_path: str, n_events: int, chunk: int, mode: str,
         s0 = _steal_jiffies()
         t0 = time.time()
         snaps = replay_log(spark, tbl, log_path, chunk_events=chunk, mode=mode,
-                           dedup_method=dedup, fanout=fanout)
+                           dedup_method=dedup, fanout=fanout,
+                           max_batches=max_batches)
         dt = time.time() - t0
         stolen = _steal_frac(_steal_jiffies() - s0, dt)
         rows = tbl.read().count()
@@ -190,16 +196,34 @@ def _spark(master: str, cores: int):
     return get_spark("bench", master=master, shuffle_partitions=cores)
 
 
+def _pin_set(cores: int, base: int = 0) -> set[int]:
+    """Stride-spread CPU set: {base, base+H/N, ...}. Adjacent vCPU ids on
+    this host share physical resources (measured ~40% replay penalty for
+    0-3 vs 0,8,16,24), so an N-core 'cluster' is emulated on maximally
+    separated cores; ``base`` rotates the set between samples so one bad
+    physical core cannot poison a whole level."""
+    stride = max(HOST_CPUS // cores, 1)
+    return {(base + i * stride) % HOST_CPUS for i in range(cores)}
+
+
 def replay_only(args) -> None:
     cores = int(args.master.split("[")[1].rstrip("]"))
     if args.pin:
         # Emulate a true N-core cluster node: restrict this process (and the
         # child JVM) to N CPUs so GC/IO threads can't leak extra parallelism
         # into the small-cluster measurement.
-        os.sched_setaffinity(0, set(range(cores)))
+        os.sched_setaffinity(0, _pin_set(cores, args.pin_base))
     spark = _spark(args.master, cores)
     log_path = ensure_change_log(spark, args.events, args.docs, args.seed, args.files)
     workdir = os.path.join(CACHE, f"replay_{cores}")
+    # Untimed warmup: replay one batch into a scratch table so JIT/codegen,
+    # zstd codecs and parquet reader/writer paths are compiled before the
+    # timed run — a fresh JVM otherwise burns ~20-30 s of compile inside
+    # the measurement, ~all of it serial, which distorts the small-core
+    # sample most.
+    run_replay(spark, log_path, args.chunk, args.chunk, args.mode,
+               args.buckets, os.path.join(workdir, "warm"), dedup=args.dedup,
+               fanout=args.fanout, retries=1, max_batches=1)
     # single attempt here: the parent scaling loop handles steal retries
     res = run_replay(spark, log_path, args.events, args.chunk, args.mode,
                      args.buckets, workdir, dedup=args.dedup,
@@ -208,48 +232,81 @@ def replay_only(args) -> None:
     print(json.dumps(res))
 
 
+def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
+                        mode: str, dedup: str, fanout: bool,
+                        pin_base: int) -> dict:
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--replay-only",
+        "--master", f"local[{cores}]", "--events", str(n_events),
+        "--docs", str(n_docs), "--chunk", str(chunk), "--mode", mode,
+        "--dedup", dedup, "--pin", "--pin-base", str(pin_base),
+    ] + (["--fanout"] if fanout else [])
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                   n_lo: int, n_hi: int, dedup: str = "max_by",
                   fanout: bool = False) -> dict:
-    """Same job, two parallelism levels, fresh JVM each (clean measurement)."""
-    out = {}
-    # hi first so the generated-log cache is built at full parallelism;
-    # >=2 runs per level, keep the faster (page-cache warmup + host noise);
-    # extra attempts when the host stole CPU mid-run (steal_frac from
-    # /proc/stat) — a stolen sample measures the neighbor, not the engine.
-    for cores in (n_hi, n_lo):
-        best = None
-        clean = 0
-        for _ in range(5):
-            cmd = [
-                sys.executable, os.path.abspath(__file__), "--replay-only",
-                "--master", f"local[{cores}]", "--events", str(n_events),
-                "--docs", str(n_docs), "--chunk", str(chunk), "--mode", mode,
-                "--dedup", dedup, "--pin",
-            ] + (["--fanout"] if fanout else [])
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-            r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
-            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
-            if best is None or res["events_per_sec"] > best["events_per_sec"]:
-                best = res
-            if res.get("steal_frac", 0.0) <= STEAL_OK:
-                clean += 1
-            if clean >= 2:
-                break
-        out[cores] = best
-    lo, hi = out[n_lo], out[n_hi]
-    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
+    """Same job, two parallelism levels, fresh (JIT-warmed) JVM each.
+
+    Sampling protocol (the measurement, not the engine, is the noisy part
+    on this host — see BENCH/BASELINE.md):
+    - samples come in interleaved (lo, hi) PAIRS run back-to-back, so a
+      host-contention episode lands on both halves of a pair rather than
+      on one whole level;
+    - each subprocess pins a stride-spread CPU set whose base rotates per
+      round (adjacent vCPUs share host resources; a single bad physical
+      core must not poison a level);
+    - a pair is 'clean' when both halves pass the steal check; sampling
+      continues until >=`SPARK_GRAFT_SCALE_PAIRS` clean pairs (default 3)
+      or `SPARK_GRAFT_SCALE_MAX_ROUNDS` rounds (default 5);
+    - headline = median of per-pair efficiencies over clean pairs (all
+      pairs if none are clean), with per-level medians + raw samples
+      reported for transparency.
+    """
+    want_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_ROUNDS", "5"))
+    pairs: list[dict] = []
+    for rnd in range(max_rounds):
+        lo = _one_scaling_sample(n_lo, n_events, n_docs, chunk, mode, dedup,
+                                 fanout, pin_base=rnd)
+        hi = _one_scaling_sample(n_hi, n_events, n_docs, chunk, mode, dedup,
+                                 fanout, pin_base=rnd)
+        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
+        clean = (lo.get("steal_frac", 0.0) <= STEAL_OK
+                 and hi.get("steal_frac", 0.0) <= STEAL_OK)
+        pairs.append({
+            "round": rnd,
+            "events_per_sec_lo": lo["events_per_sec"],
+            "events_per_sec_hi": hi["events_per_sec"],
+            "efficiency": round(eff, 3),
+            "clean": clean,
+            "steal_frac_lo": lo.get("steal_frac"),
+            "steal_frac_hi": hi.get("steal_frac"),
+        })
+        if sum(p["clean"] for p in pairs) >= want_pairs:
+            break
+    use = [p for p in pairs if p["clean"]] or pairs
     return {
         "cores_lo": n_lo,
         "cores_hi": n_hi,
         "events": n_events,
         "mode": mode,
-        "events_per_sec_lo": lo["events_per_sec"],
-        "events_per_sec_hi": hi["events_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "steal_frac_lo": lo.get("steal_frac"),
-        "steal_frac_hi": hi.get("steal_frac"),
+        "dedup": dedup,
+        "events_per_sec_lo": _median([p["events_per_sec_lo"] for p in use]),
+        "events_per_sec_hi": _median([p["events_per_sec_hi"] for p in use]),
+        "scaling_efficiency": round(_median([p["efficiency"] for p in use]), 3),
+        "clean_pairs": len([p for p in pairs if p["clean"]]),
+        "pairs": pairs,
     }
 
 
@@ -261,13 +318,17 @@ def main() -> None:
     p.add_argument("--docs", type=int, default=None)
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--mode", default=os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor"))
-    p.add_argument("--dedup", default=os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "max_by"))
+    # prefilter: narrow winner agg + broadcast join — wide token arrays never
+    # shuffle. Right for this job shape (winners-per-batch ~200k ≈ 5 MB
+    # broadcast); use max_by when a batch's winner set exceeds broadcast size.
+    p.add_argument("--dedup", default=os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "prefilter"))
     p.add_argument("--fanout", action="store_true",
                    default=os.environ.get("SPARK_GRAFT_BENCH_FANOUT", "0") == "1")
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--files", type=int, default=128)
     p.add_argument("--pin", action="store_true")
+    p.add_argument("--pin-base", type=int, default=0)
     p.add_argument("--skip-scaling", action="store_true")
     args = p.parse_args()
 
@@ -307,7 +368,13 @@ def main() -> None:
         # the one that grows. Full measured core curve: BENCH/BASELINE.md.
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
         n_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
-        scaling = scaling_study(n_events, n_docs, chunk, args.mode, n_lo, n_hi,
+        # The scaling pair replays a (default) 1M-event slice of the same
+        # log: long enough to dwarf residual fixed costs after the JIT
+        # warmup, short enough to afford >=3 interleaved pairs.
+        s_events = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS",
+                                      str(min(n_events, 1_000_000))))
+        s_chunk = max(s_events // 4, 1)
+        scaling = scaling_study(s_events, n_docs, s_chunk, args.mode, n_lo, n_hi,
                                 dedup=args.dedup, fanout=args.fanout)
 
     total = round(sum(q_times.values()) + replay["sec"], 3)

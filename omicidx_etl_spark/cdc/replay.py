@@ -26,10 +26,20 @@ Dedup strategies
   final max_by over key. Useful when the payload is too wide for an
   aggregation buffer; shown in the bench for the north rule's
   "salted repartitioning" evidence.
+``prefilter``: two-pass winner join — a *narrow* aggregation (key, seq
+  only; Catalyst prunes the scan to two columns) finds each key's winning
+  seq, then the wide rows are inner-joined against the broadcast winner
+  set. The wide payload (kB-scale token arrays) never enters an
+  aggregation buffer or a shuffle — the cheapest path when the per-batch
+  distinct-key set fits a broadcast (~tens of MB; chunk sizes up to a few
+  million events). Skew-immune twice over: the narrow agg partial-combines
+  hot keys map-side, and a broadcast join has no shuffle to skew. For
+  chunks whose winner set exceeds broadcast size, use ``max_by``.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any
 
@@ -89,6 +99,9 @@ def dedup_latest(
             .drop("__rn", "__salt")
         )
         return dedup_latest(local, key=key, seq=seq, method="max_by")
+    if method == "prefilter":
+        winners = changes.select(key, seq).groupBy(key).agg(F.max(seq).alias(seq))
+        return changes.join(F.broadcast(winners), [key, seq], "inner").select(*cols)
     raise ValueError(f"unknown dedup method {method!r}")
 
 
@@ -117,14 +130,25 @@ def replay_batch(
     t0 = time.time()
     # Stats ride the merge's own scan via Observation — no extra pass.
     obs = Observation(f"replay_{app_id}_{batch_id}")
-    changes = changes.observe(
-        obs,
+    obs_cols = (
         F.count(F.lit(1)).alias("event_count"),
         F.min(seq).alias("seq_lo"),
         F.max(seq).alias("seq_hi"),
         F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("delete_events"),
     )
-    latest = dedup_latest(changes, key=key, seq=seq, method=dedup_method)
+    if dedup_method == "prefilter":
+        # The winner aggregation is a narrow (key, seq, op) scan of its own;
+        # hang the observation there so the metrics see every event exactly
+        # once (on the wide side they would ride both halves of the
+        # self-join). The wide side stays observation-free.
+        narrow = changes.select(key, seq, op_col).observe(obs, *obs_cols)
+        winners = narrow.groupBy(key).agg(F.max(seq).alias(seq))
+        latest = changes.join(F.broadcast(winners), [key, seq], "inner").select(
+            *changes.columns
+        )
+    else:
+        changes = changes.observe(obs, *obs_cols)
+        latest = dedup_latest(changes, key=key, seq=seq, method=dedup_method)
     snap = table.merge(
         latest,
         op_col=op_col,
@@ -145,6 +169,40 @@ def replay_batch(
     return snap
 
 
+def _segment_index(log_path: str, seq: str) -> list[tuple[str, int, int]] | None:
+    """Per-file (path, seq_lo, seq_hi) for a parquet WAL directory, from the
+    file footers — the segment index every binlog reader keeps (Kafka's
+    offset index; the reference's dated-file manifest,
+    ``omicidx_etl/sra/mirror.py:68-92``). Driver-side footer reads are O(file
+    count); at real scale the feed producer writes this manifest alongside
+    the segments and this function reads that instead. Returns None when the
+    layout isn't a flat local parquet dir (fall back to row-group pruning)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(log_path):
+            return None
+        out: list[tuple[str, int, int]] = []
+        for name in sorted(os.listdir(log_path)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(log_path, name)
+            md = pq.ParquetFile(full).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if seq not in idx:
+                return None
+            lo_hi: list[tuple[int, int]] = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[seq]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo_hi.append((st.min, st.max))
+            out.append((full, min(l for l, _ in lo_hi), max(h for _, h in lo_hi)))
+        return out or None
+    except Exception:  # pragma: no cover — any footer oddity → safe fallback
+        return None
+
+
 def replay_log(
     spark: SparkSession,
     table: LakeTable,
@@ -162,18 +220,23 @@ def replay_log(
     """Batch-replay a parquet change log in ordered seq-range micro-batches.
 
     Resumable: batch i covers seq range (i*chunk, (i+1)*chunk]; the table's
-    per-app watermark skips already-committed batches, and the seq-range
-    predicate prunes parquet row groups (the log is range-partitioned by seq
-    — see ``datagen.write_change_log``), so resume does not rescan history.
+    per-app watermark skips already-committed batches, and each batch scans
+    only the WAL segment files whose seq span intersects its range (segment
+    index from the parquet footers; the log is range-partitioned by seq —
+    see ``datagen.write_change_log``), so resume does not rescan history
+    and per-batch task count is O(batch files), not O(log files).
 
     ``mode="mor"`` lands each batch as delta files (O(batch) per commit);
     ``compact_every=k`` folds deltas into the base every k batches so
     read-side reconciliation stays bounded — the streaming-upsert pattern
     for the 10^10-event scale target.
     """
+    segs = _segment_index(log_path, seq)
     log = spark.read.parquet(log_path)
-    bounds = log.select(F.max(seq).alias("hi")).first()
-    hi = bounds["hi"] or 0
+    if segs is not None:
+        hi = max(s[2] for s in segs)
+    else:
+        hi = log.select(F.max(seq).alias("hi")).first()["hi"] or 0
     n_batches = (hi + chunk_events - 1) // chunk_events
     done = table.committed_batch(app_id)
     snaps = []
@@ -182,7 +245,12 @@ def replay_log(
         if max_batches is not None and len(snaps) >= max_batches:
             break
         lo, up = b * chunk_events, (b + 1) * chunk_events
-        batch = log.filter((F.col(seq) > lo) & (F.col(seq) <= up))
+        if segs is not None:
+            paths = [p for p, slo, shi in segs if shi > lo and slo <= up]
+            src = spark.read.parquet(*paths) if paths else log
+        else:
+            src = log
+        batch = src.filter((F.col(seq) > lo) & (F.col(seq) <= up))
         snaps.append(
             replay_batch(
                 table, batch, batch_id=b, app_id=app_id, seq=seq,

@@ -53,15 +53,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
     Inverted-index plan: explode shingles, self-join on shingle (only pairs
     sharing a shingle meet), count intersections, compare to set sizes.
-    At 100 TB: prefilter hot shingles (df stop-shingles) and/or run MinHash
-    first; this operator is the exact refiner for candidate pairs.
+
+    ``max_df`` (on by default) is the hot-shingle guard: a shingle present
+    in d documents contributes d·(d-1)/2 rows to the self-join, so one
+    ubiquitous stop-shingle at web scale is a cartesian product. Shingles
+    with document frequency > max_df are excluded from BOTH the
+    intersection and the set sizes (stop-shingle-filtered Jaccard — they
+    carry no near-dup signal). The hot set is tiny by construction
+    (≤ corpus_shingles/max_df can exceed it), so it broadcasts. Pass
+    ``max_df=None`` for unfiltered Jaccard on pre-blocked candidates.
     """
     sh = _exploded_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -577,7 +577,10 @@ class LakeTable:
         bases (compaction always uses shuffle=True)."""
         stage_rel = os.path.join("data", f"snap-{sid:09d}")
         stage = os.path.join(self.root, stage_rel)
-        out_df = df.repartition(BUCKET_COL) if shuffle else df
+        # One shuffle partition per bucket (not spark.sql.shuffle.partitions):
+        # write tasks then align 1:1 with buckets, so task sizes are as even
+        # as the bucket hash and no core waits on a multi-bucket straggler.
+        out_df = df.repartition(nb, F.col(BUCKET_COL)) if shuffle else df
         (
             out_df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)

@@ -554,6 +554,68 @@ def f_scalar_pack(spark, sf_dir):
 
 
 @register(
+    "f6_nested_access",
+    """
+    WITH nested AS (
+      SELECT c_custkey,
+        [{'source_name': c_name, 'label_protocol': 'primary'},
+         {'source_name': upper(c_name), 'label_protocol': 'secondary'}] AS channels,
+        {'name': {'first': substr(c_name, 1, 8), 'last': substr(c_name, 10, 9)}} AS contact,
+        {'segment': c_mktsegment, 'nation': c_nationkey} AS attributes
+      FROM customer)
+    SELECT c_custkey,
+           channels[1].source_name AS ch1_source,
+           channels[2].label_protocol AS ch2_protocol,
+           contact."name"."first" || ' ' || contact."name"."last" AS contact_name,
+           CAST(to_json(attributes) AS VARCHAR) AS attributes_json
+    FROM nested
+    """,
+)
+def f6_nested_access(spark, sf_dir):
+    """F6+F9: array-of-struct indexing, struct-of-struct field paths, and
+    struct→JSON stringify — the reference's channel/contact view idioms
+    (``040_geometadb_views.sql:14-34`` ``channels[1].source_name …``,
+    ``contact."name"."first" || ' ' || contact."name"."last"``) and
+    ``CAST(attributes AS VARCHAR)`` (``050_sradb_views.sql:41``). The nested
+    column is synthesized from customer (the shared fixtures carry no nested
+    types); indexing is 0-based here vs DuckDB's 1-based (SURVEY §7.4.5).
+    All access paths are Catalyst expressions — nested-field pruning keeps
+    untouched struct fields out of the scan."""
+    c = _t(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.array(
+            F.struct(
+                F.col("c_name").alias("source_name"),
+                F.lit("primary").alias("label_protocol"),
+            ),
+            F.struct(
+                F.upper("c_name").alias("source_name"),
+                F.lit("secondary").alias("label_protocol"),
+            ),
+        ).alias("channels"),
+        F.struct(
+            F.struct(
+                F.substring("c_name", 1, 8).alias("first"),
+                F.substring("c_name", 10, 9).alias("last"),
+            ).alias("name")
+        ).alias("contact"),
+        F.struct(
+            F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nation")
+        ).alias("attributes"),
+    )
+    return nested.select(
+        "c_custkey",
+        F.col("channels")[0]["source_name"].alias("ch1_source"),
+        F.col("channels")[1]["label_protocol"].alias("ch2_protocol"),
+        F.concat(
+            F.col("contact.name.first"), F.lit(" "), F.col("contact.name.last")
+        ).alias("contact_name"),
+        F.to_json(F.col("attributes")).alias("attributes_json"),
+    )
+
+
+@register(
     "f10_content_hash",
     """
     SELECT doc_id, md5(text) AS content_md5, sha256(text) AS content_sha256

@@ -61,7 +61,7 @@ def _schema(spark):
     )
 
 
-@pytest.mark.parametrize("method", ["max_by", "window", "salted_window"])
+@pytest.mark.parametrize("method", ["max_by", "window", "salted_window", "prefilter"])
 def test_replay_matches_oracle(spark, change_log, tmp_path, method):
     table = LakeTable.create(
         spark, str(tmp_path / f"t_{method}"), _schema(spark), key="doc_id", n_buckets=8

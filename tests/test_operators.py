@@ -14,9 +14,11 @@ def test_dedup_strategies_agree(spark):
     ch = datagen.gen_changes(spark, 5000, 200, seed=31)
     outs = {
         m: dedup_latest(ch, method=m).orderBy("doc_id").collect()
-        for m in ["max_by", "window", "salted_window"]
+        for m in ["max_by", "window", "salted_window", "prefilter"]
     }
-    assert outs["max_by"] == outs["window"] == outs["salted_window"]
+    assert (
+        outs["max_by"] == outs["window"] == outs["salted_window"] == outs["prefilter"]
+    )
 
 
 def test_surrogate_ids_scalable_equals_window(spark):
