@@ -188,3 +188,62 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Da
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ ``max_hamming``.
+
+    LSH banding applied to the signature bits (the same band-bucket trick as
+    :func:`minhash_lsh_candidates`): split the ``bits``-bit signature into
+    ``bands`` contiguous bands, self-join only inside (band, band_sig)
+    buckets, then verify candidates by exact Hamming distance. For
+    ``max_hamming ≤ bands - 1`` the rewrite is LOSSLESS (pigeonhole: ≤
+    bands-1 differing bits cannot touch every band, so every qualifying pair
+    shares an intact band) — full recall without the O(n²) all-pairs scan.
+    The Hamming verify is ``bits`` char comparisons, pure codegen."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} > bands-1={bands - 1}: banding would "
+            "lose pairs; raise bands or lower max_hamming"
+        )
+    rows = bits // bands
+    sigs = simhash(df, id_col, text_col, bits)
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias("band"),
+    ).withColumn(
+        "band_sig", F.col("simhash").substr(F.col("band") * rows + 1, F.lit(rows))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        (
+            F.substring(F.col("sig_a"), i + 1, 1)
+            != F.substring(F.col("sig_b"), i + 1, 1)
+        ).cast("int")
+        for i in range(bits)
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -51,6 +51,62 @@ VIEW_SQL: dict[str, str] = {
         LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
           ON c.c_custkey = o.o_custkey
     """,
+    # 040-style bridge views (gse_gpl / gse_gsm,
+    # 040_geometadb_views.sql:100-113): DISTINCT pair projections off the
+    # fact table linking the two entity spaces
+    "v_order_part_bridge": """
+        SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS partkey
+        FROM lineitem
+    """,
+    "v_order_supplier_bridge": """
+        SELECT DISTINCT l_orderkey AS orderkey, l_suppkey AS suppkey
+        FROM lineitem
+    """,
+    # 040-style union-discriminated registry with regexp cleanup
+    # (geo_supplemental_files, 040_geometadb_views.sql:115-135): two entity
+    # tables folded into one keyed view with a type discriminator column
+    "v_account_registry": """
+        SELECT * FROM (
+            SELECT c_custkey AS id, 'customer' AS kind, trim(c_name) AS name,
+                   c_nationkey AS nationkey, c_acctbal AS acctbal,
+                   regexp_extract(c_name, '[0-9]+$', 0) AS name_num
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, 'supplier', trim(s_name),
+                   s_nationkey, s_acctbal,
+                   regexp_extract(s_name, '[0-9]+$', 0)
+            FROM supplier
+        ) u
+    """,
+    # 050-style 4-way left-join denorm (run_with_study,
+    # 050_sradb_views.sql:240-272): fact grain preserved, every dimension
+    # attached with LEFT JOIN so missing dims never drop rows
+    "v_lineitem_denorm": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+               o.o_orderdate, o.o_orderpriority,
+               c.c_name AS customer_name, c.c_mktsegment,
+               p.p_name AS part_name, p.p_brand,
+               s.s_name AS supplier_name
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    # 050-style filtered convenience view over the denorm (rnaseq_runs,
+    # 050_sradb_views.sql:274+) — view-on-view, like the reference's
+    # stg_* layering (lexical order puts the base view first)
+    "v_urgent_lineitems": """
+        SELECT * FROM v_lineitem_denorm WHERE o_orderpriority = '1-URGENT'
+    """,
+    # daily rollup convenience view (A2-adjacent census material)
+    "v_events_daily": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               count(*) AS n_events,
+               CAST(floor(sum(value)*100 + 0.5) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY CAST(ts AS DATE), event_type
+    """,
 }
 
 

@@ -894,7 +894,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_candidates(d, "doc_id", n=2, k=8, bands=4)
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_cte(bits: int = 16) -> str:
+    """Shared DuckDB CTE computing (doc, simhash) — must mirror
+    ``functions.dedup.simhash`` bit-for-bit."""
     hexhi = "('8','9','a','b','c','d','e','f')"
     sums = ", ".join(
         f"sum(CASE WHEN substr(h, {b+1}, 1) IN {hexhi} THEN 1 ELSE -1 END) AS b{b}"
@@ -910,7 +912,12 @@ def _simhash_sql(bits: int = 16) -> str:
       SELECT doc, {sums} FROM w GROUP BY doc
     ), sig AS (
       SELECT doc, {concat} AS simhash FROM s
-    )
+    )"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    return f"""
+    {_simhash_cte(bits)}
     SELECT simhash, COUNT(*) AS n_docs, array_to_string(list_sort(list(doc)), ',') AS docs
     FROM sig GROUP BY simhash HAVING COUNT(*) > 1
     """
@@ -920,6 +927,29 @@ def dedup_simhash(spark, sf_dir):
     """SimHash near-dup clusters (16-bit signatures from md5 hex digits)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.simhash_duplicates(d, "doc_id")
+
+
+def _simhash_near_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {b+1}, 1) <> substr(b.simhash, {b+1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    {_simhash_cte(bits)}
+    SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(({ham}) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE ({ham}) <= {max_hamming}
+    """
+
+@register("dedup_simhash_near", _simhash_near_sql(16, 3))
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash Hamming-≤3 near-dup pairs via 4-band LSH + exact verify. The
+    oracle is the brute-force all-pairs scan; with max_hamming ≤ bands-1 the
+    banded plan must return the identical pair set (lossless rewrite), so
+    parity here proves both the recall guarantee and the Hamming math."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash_near_pairs(d, "doc_id", bits=16, bands=4, max_hamming=3)
 
 
 # =====================================================================
@@ -948,11 +978,11 @@ def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(e, [1.0] * _DIMS, k=10)
 
 
-def _lsh_sql(n_planes: int = 4) -> str:
+def _duck_bucket(n_planes: int) -> str:
+    """DuckDB expression for the random-hyperplane LSH bucket string —
+    must mirror ``functions.similarity.lsh_buckets`` bit-for-bit (same
+    md5-derived ±1 planes; DuckDB arrays are 1-based)."""
     planes = S.plane_matrix(n_planes, _DIMS)
-    qbits = "".join(
-        "1" if sum(planes[p]) >= 0 else "0" for p in range(n_planes)
-    )
     bit_exprs = []
     for p in range(n_planes):
         terms = " + ".join(
@@ -960,11 +990,18 @@ def _lsh_sql(n_planes: int = 4) -> str:
             for i in range(_DIMS)
         )
         bit_exprs.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
-    bucket = " || ".join(bit_exprs)
+    return " || ".join(bit_exprs)
+
+
+def _lsh_sql(n_planes: int = 4) -> str:
+    planes = S.plane_matrix(n_planes, _DIMS)
+    qbits = "".join(
+        "1" if sum(planes[p]) >= 0 else "0" for p in range(n_planes)
+    )
     return f"""
     SELECT vec_id, {_COS_SQL} AS cos_sim
     FROM embeddings
-    WHERE ({bucket}) = '{qbits}'
+    WHERE ({_duck_bucket(n_planes)}) = '{qbits}'
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
 
@@ -1021,6 +1058,33 @@ def dedup_embedding_cosine(spark, sf_dir):
     return S.pairwise_topk_per_label(
         e, id_col="vec_id", vec_col="embedding", label_col="label",
         threshold=0.35,
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding, ({_duck_bucket(4)}) AS g FROM embeddings
+    )
+    SELECT a.g AS g, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_PAIR_COS_SQL} AS cos_sim
+    FROM bkt a JOIN bkt b ON a.g = b.g AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS_SQL} >= 0.3
+    """,
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs blocked by the LSH bucket itself — the
+    self-contained 100 TB composition (no trusted label column needed):
+    ``lsh_buckets`` assigns each vector its hyperplane-sign bucket, then the
+    pairwise cosine self-join runs only inside a bucket (~n/2^planes rows),
+    never globally. Same shuffle shape as ``dedup_embedding_cosine`` but
+    with blocking the engine derives on its own."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = S.lsh_buckets(e, _DIMS, n_planes=4)
+    return S.pairwise_topk_per_label(
+        b, id_col="vec_id", vec_col="embedding", label_col="bucket",
+        threshold=0.3,
     )
 
 

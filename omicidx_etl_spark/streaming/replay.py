@@ -19,13 +19,67 @@ maps to ``maxFilesPerTrigger``/``maxBytesPerTrigger``.
 
 from __future__ import annotations
 
-from typing import Any
+import json
+import os
+import time
+from typing import Any, Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from omicidx_etl_spark.cdc.replay import replay_batch
-from omicidx_etl_spark.lake.table import LakeTable
+from omicidx_etl_spark.lake.table import LakeTable, _norm_entry
 from omicidx_etl_spark.lineage import LineageLog
+
+
+def _quarantine_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    app_id: str,
+    err: Exception,
+    lineage: LineageLog | None,
+) -> dict[str, Any]:
+    """Land a poison batch under ``<table>/_quarantine/`` and keep going —
+    the reference isolates per-entity failures into an errors side-channel
+    and continues the run (``omicidx_etl/sra/catalog.py:347-371``); the batch
+    analogue parks the failing micro-batch (data when readable, always the
+    error record) where an operator can inspect/replay it, instead of
+    wedging the stream on one bad batch forever."""
+    qdir = os.path.join(table.root, "_quarantine", f"batch-{batch_id:09d}")
+    os.makedirs(qdir, exist_ok=True)
+    landed = False
+    try:
+        # Readable-but-unmergeable batches (bad values, semantic failures)
+        # keep their data for replay-after-fix. An unreadable batch (corrupt
+        # source file) can't be copied — the error record still lands.
+        batch_df.write.mode("overwrite").parquet(os.path.join(qdir, "data"))
+        landed = True
+    except Exception:
+        pass
+    meta = {
+        "app_id": app_id,
+        "batch_id": batch_id,
+        "error": f"{type(err).__name__}: {err}",
+        "data_landed": landed,
+    }
+    with open(os.path.join(qdir, "error.json"), "w") as f:
+        json.dump(meta, f)
+    if lineage is not None:
+        lineage.record(
+            app_id, batch_id,
+            {"snapshot_id": None, "summary": {"operation": "quarantine", **meta}},
+            0.0,
+        )
+    return {"batch_id": batch_id, "quarantined": True, **meta}
+
+
+def _max_delta_depth(table: LakeTable) -> int:
+    snap = table.snapshot()
+    return max(
+        (len(_norm_entry(e)["deltas"]) for e in snap["buckets"].values()),
+        default=0,
+    )
 
 
 def stream_replay(
@@ -42,6 +96,10 @@ def stream_replay(
     lineage: LineageLog | None = None,
     timeout_s: float | None = None,
     mode: str = "cow",
+    schema: T.StructType | None = None,
+    quarantine: bool = True,
+    validate: Callable[[DataFrame], None] | None = None,
+    compact_deltas_over: int | None = None,
 ) -> list[dict[str, Any]]:
     """Run an availableNow streaming replay of the change-log directory.
 
@@ -50,9 +108,28 @@ def stream_replay(
     the same checkpoint_dir to resume; reprocessing after a crash is
     deduplicated by the table's (app_id, batch_id) watermark.
 
-    Returns the snapshot dicts committed during this run.
+    Failure isolation (T6): with ``quarantine=True`` a batch whose merge
+    raises — i.e. Spark's own task retries are already exhausted, so the
+    failure is data-shaped, not transient — is parked under
+    ``<table>/_quarantine/batch-NNN/`` (parquet data when readable +
+    ``error.json``), recorded in lineage as ``operation="quarantine"``, and
+    the stream continues; the checkpoint marks the batch consumed so it is
+    not retried forever. ``validate`` runs before the merge and may raise to
+    route a batch to quarantine (the reference's per-record pydantic
+    validation hook). Pass ``schema`` explicitly when the log may contain
+    unreadable files (inference would trip on the corrupt footer).
+
+    Self-maintaining MOR (``mode="mor"``): ``compact_deltas_over=k`` folds
+    deltas into the base whenever any bucket's delta chain exceeds k
+    commits, so read-side reconciliation cost stays bounded without a
+    caller-side maintenance loop (Iceberg's commit-triggered
+    rewrite_data_files policy).
+
+    Returns the snapshot dicts committed during this run (compactions and
+    quarantined batches included, flagged by ``operation``/``quarantined``).
     """
-    schema = spark.read.parquet(log_path).schema
+    if schema is None:
+        schema = spark.read.parquet(log_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -61,19 +138,35 @@ def stream_replay(
     committed: list[dict[str, Any]] = []
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        snap = replay_batch(
-            table,
-            batch_df,
-            batch_id=batch_id,
-            app_id=app_id,
-            seq=seq,
-            op_col=op_col,
-            delete_value=delete_value,
-            dedup_method=dedup_method,
-            lineage=lineage,
-            mode=mode,
-        )
+        try:
+            if validate is not None:
+                validate(batch_df)
+            snap = replay_batch(
+                table,
+                batch_df,
+                batch_id=batch_id,
+                app_id=app_id,
+                seq=seq,
+                op_col=op_col,
+                delete_value=delete_value,
+                dedup_method=dedup_method,
+                lineage=lineage,
+                mode=mode,
+            )
+        except Exception as e:
+            if not quarantine:
+                raise
+            committed.append(
+                _quarantine_batch(table, batch_df, batch_id, app_id, e, lineage)
+            )
+            return
         committed.append(snap)
+        if compact_deltas_over is not None and _max_delta_depth(table) > compact_deltas_over:
+            t0 = time.time()
+            csnap = table.compact()
+            if lineage is not None:
+                lineage.record(app_id, batch_id, csnap, time.time() - t0)
+            committed.append(csnap)
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

@@ -16,11 +16,15 @@ def test_build_views_and_census(spark):
     cen = {r.table_name: r.row_count for r in V.census(spark).collect()}
     assert set(cen) == set(names)
     # census counts must equal a DuckDB census over the same definitions
+    # (views created in the same sorted order — view-on-view layering,
+    # like the reference's stg_* -> convenience chain)
     con = duckdb.connect()
     for t in V.TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
-    for name, sql in V.VIEW_SQL.items():
-        assert cen[name] == con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0], name
+    for name in sorted(V.VIEW_SQL):
+        con.sql(f"CREATE VIEW {name} AS {V.VIEW_SQL[name]}")
+    for name in sorted(V.VIEW_SQL):
+        assert cen[name] == con.sql(f"SELECT count(*) FROM {name}").fetchone()[0], name
 
 
 def test_views_are_lazy_and_queryable(spark):
