@@ -354,6 +354,11 @@ def main() -> None:
     replay = run_replay(spark, log_path, n_events, chunk, args.mode,
                         args.buckets, os.path.join(CACHE, "replay_main"),
                         dedup=args.dedup, fanout=args.fanout)
+    # pre-build the scaling slice's log at full parallelism so the first
+    # (1-core-pinned) subprocess doesn't pay the generation cost
+    s_events = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS",
+                                  str(min(n_events, 1_000_000))))
+    ensure_change_log(spark, s_events, n_docs, args.seed, args.files)
     spark.stop()
 
     scaling = None
@@ -371,8 +376,6 @@ def main() -> None:
         # The scaling pair replays a (default) 1M-event slice of the same
         # log: long enough to dwarf residual fixed costs after the JIT
         # warmup, short enough to afford >=3 interleaved pairs.
-        s_events = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS",
-                                      str(min(n_events, 1_000_000))))
         s_chunk = max(s_events // 4, 1)
         scaling = scaling_study(s_events, n_docs, s_chunk, args.mode, n_lo, n_hi,
                                 dedup=args.dedup, fanout=args.fanout)

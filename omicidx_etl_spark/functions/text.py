@@ -30,6 +30,28 @@ def words_expr(text_col):
     return F.split(F.trim(text_col), r"\s+")
 
 
+def fix_utf8_expr(bin_col):
+    """D4 — lossy UTF-8 re-encode of a binary column: invalid byte
+    sequences are dropped, valid text passes through unchanged. The
+    reference streams whole files through
+    ``line.decode("utf-8", errors="ignore").encode("utf-8")``
+    (``omicidx_etl/nih_reporter.py:123-135``); on Spark the same cleanup is
+    a pure column expression (decode-with-replacement, then strip the
+    U+FFFD replacement chars), fully codegen — no per-row Python, no file
+    staging pass. The binary→string CAST (not ``F.decode``, which is strict
+    ANSI in Spark 4 and throws MALFORMED_CHARACTER_CODING) replaces invalid
+    sequences JVM-side. Caveat: legitimate pre-existing U+FFFD chars are
+    dropped too (the cost of expressing "ignore" via "replace")."""
+    return F.regexp_replace(bin_col.cast("string"), "�", "")
+
+
+def fix_encoding(df: DataFrame, bin_col: str, out_col: str = "text") -> DataFrame:
+    """Apply :func:`fix_utf8_expr` to a raw-bytes column — the ingest-edge
+    cleanup for feeds that ship mixed/broken encodings (reference:
+    ``fix_encoding``, nih_reporter.py:123)."""
+    return df.withColumn(out_col, fix_utf8_expr(F.col(bin_col)))
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document."""
     return df.withColumn(

@@ -74,3 +74,20 @@ def test_datagen_invariants(spark):
     prefix = ch.filter(F.col("seq") <= 100)
     assert prefix.filter(F.col("op") != "I").count() == 0
     assert prefix.select("doc_id").distinct().count() == 100
+
+
+def test_fix_encoding_drops_invalid_utf8(spark):
+    """D4: lossy utf-8 re-encode equals Python's decode(errors='ignore')."""
+    from omicidx_etl_spark.functions.text import fix_encoding
+
+    raw = [
+        b"plain ascii",
+        b"caf\xc3\xa9 utf8 ok",        # valid multibyte passes through
+        b"caf\xe9 broken latin1",       # lone continuation byte dropped
+        b"\xff\xfe garbage \x80 mid",   # several invalid sequences
+        b"",
+    ]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raw)], "id long, payload binary")
+    got = {r.id: r.text for r in fix_encoding(df, "payload").collect()}
+    for i, r in enumerate(raw):
+        assert got[i] == r.decode("utf-8", errors="ignore"), (i, r)
