@@ -36,6 +36,14 @@ def main() -> None:
     p.add_argument("--chunk", type=int, default=1_000_000)
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--compact-every", type=int, default=None)
+    p.add_argument("--dedup", default="max_by",
+                   choices=["max_by", "window", "salted_window", "prefilter"])
+    p.add_argument("--no-quarantine", action="store_true",
+                   help="streaming: fail the stream on a poison batch instead "
+                        "of parking it under <table>/_quarantine/")
+    p.add_argument("--compact-deltas-over", type=int, default=None,
+                   help="streaming+mor: auto-compact when any bucket's delta "
+                        "chain exceeds this depth")
     p.add_argument("--app-id", default="replay")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", default=None)
@@ -82,6 +90,8 @@ def main() -> None:
         snaps = stream_replay(
             spark, table, args.log, args.checkpoint or args.table + "_ckpt",
             app_id=args.app_id, mode=args.mode, lineage=lineage,
+            dedup_method=args.dedup, quarantine=not args.no_quarantine,
+            compact_deltas_over=args.compact_deltas_over,
         )
     else:
         from omicidx_etl_spark.cdc import replay_log
@@ -89,9 +99,12 @@ def main() -> None:
         snaps = replay_log(
             spark, table, args.log, chunk_events=args.chunk, app_id=args.app_id,
             mode=args.mode, compact_every=args.compact_every, lineage=lineage,
+            dedup_method=args.dedup,
         )
     dt = time.time() - t0
-    events = sum(s["summary"].get("event_count", 0) for s in snaps)
+    events = sum(
+        (s.get("summary", {}).get("event_count") or 0) for s in snaps
+    )
     print(
         json.dumps(
             {

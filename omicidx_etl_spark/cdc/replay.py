@@ -35,6 +35,9 @@ Dedup strategies
   million events). Skew-immune twice over: the narrow agg partial-combines
   hot keys map-side, and a broadcast join has no shuffle to skew. For
   chunks whose winner set exceeds broadcast size, use ``max_by``.
+  Precondition: ``seq`` is unique per key within the batch (true for any
+  WAL/binlog feed, where seq is the log offset) — a (key, seq) tie would
+  surface both rows where the other strategies arbitrarily keep one.
 """
 
 from __future__ import annotations

@@ -108,6 +108,99 @@ def ann_lsh_topk(
     )
 
 
+def _centroid_component(c: int, dim: int) -> float:
+    """Deterministic centroid component in [-3, 3] from md5 — the same
+    engine-independent derivation trick as :func:`_plane_sign`. A real
+    deployment trains centroids with k-means and broadcasts them; the IVF
+    *plan* (partition by nearest centroid, probe few cells) is identical."""
+    import hashlib
+
+    h = hashlib.md5(f"c{c}_{dim}".encode()).hexdigest()
+    return float(int(h[:2], 16) % 7 - 3)
+
+
+def centroid_matrix(n_centroids: int, dims: int) -> list[list[float]]:
+    """Unit-norm centroids: raw md5-derived components are L2-normalized so
+    every |c| = 1 and the quantizer reduces to argmax v·c — without this,
+    centroid-norm spread dominates the L2 distance and one small-norm cell
+    swallows the whole (unit-norm) embedding corpus."""
+    import math
+
+    out = []
+    for c in range(n_centroids):
+        raw = [_centroid_component(c, d) for d in range(dims)]
+        nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        out.append([x / nrm for x in raw])
+    return out
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_cells(
+    df: DataFrame,
+    dims: int,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (L2). ``cell`` = 1-based argmin over the centroid distance array — pure
+    column expressions (zip_with/aggregate per centroid, array_position for
+    the argmin), one pass, no shuffle. At scale the table is then
+    partitioned/bucketed by ``cell`` so a probe reads only its cells."""
+    cents = centroid_matrix(n_centroids, dims)
+    dists = F.array(
+        *[
+            l2_sq(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            for c in cents
+        ]
+    )
+    return df.withColumn("cell", F.array_position(dists, F.array_min(dists)).cast("int"))
+
+
+def query_probe_cells(
+    query_vec: list[float], dims: int, n_centroids: int = 8, nprobe: int = 2
+) -> list[int]:
+    """The ``nprobe`` cells nearest the query (1-based ids), computed
+    driver-side — IEEE double left-to-right, identical to the engine math."""
+    cents = centroid_matrix(n_centroids, dims)
+    dists = []
+    for c in cents:
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            acc += (float(x) - y) * (float(x) - y)
+        dists.append(acc)
+    order = sorted(range(len(dists)), key=lambda i: (dists[i], i))
+    return [i + 1 for i in order[:nprobe]]
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dims: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ANN via IVF: quantize once, rank only rows in the query's ``nprobe``
+    nearest cells (~nprobe/n_centroids of the data; with cell-partitioned
+    storage the non-probed cells are never read at all). Complements
+    :func:`ann_lsh_topk`: IVF adapts to the data distribution (centroids),
+    LSH needs no training — both prune before any ranking work."""
+    probe = query_probe_cells(query_vec, dims, n_centroids, nprobe)
+    celled = ivf_cells(df, dims, n_centroids, vec_col)
+    return cosine_topk(
+        celled.filter(F.col("cell").isin(probe)), query_vec, id_col, vec_col, k
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -51,6 +51,61 @@ def denormalize(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "valid_from",
+) -> DataFrame:
+    """Temporal as-of left join: each left row gets the columns of the
+    latest ``right`` row with ``right_ts <= left_ts`` for the same key —
+    the CDC/SCD "dimension version valid at event time" enrichment (the
+    reference pins each mirror batch to the latest preceding Full snapshot
+    the same way, ``omicidx_etl/sra/mirror.py:93-145``).
+
+    Plan: NOT a range join (which Spark executes as a broadcast-nested-loop
+    or an exploding theta join). Both sides are tagged and unioned, then one
+    window pass per key carries the last right-side payload forward
+    (struct-packed so legitimate NULL attribute values survive
+    ``last(ignorenulls)``); left rows then peel off. ONE shuffle by key +
+    one sort — the same cost as the dedup window, independent of how many
+    right versions precede each event. Ties (right_ts == left_ts) are
+    inclusive, matching DuckDB ``ASOF JOIN`` ``>=`` semantics (right rows
+    order before left rows at equal timestamp).
+    """
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    l = left.select(
+        *left.columns,
+        F.lit(1).alias("__is_l"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {dict(right.dtypes)[c]}" for c in rcols
+            ) + ">"
+        ).alias("__r"),
+    )
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias(left_ts),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in (key, left_ts)],
+        F.lit(0).alias("__is_l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    ).select(*l.columns)  # align column order for unionByName safety
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(left_ts), F.col("__is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__rv", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_l") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("__rv")[c].alias(c) for c in rcols],
+    )
+    return out
+
+
 def exists_flag(
     left: DataFrame, right: DataFrame, on: str, flag_name: str
 ) -> DataFrame:

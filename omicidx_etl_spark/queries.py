@@ -479,6 +479,52 @@ def j5_explode_bridge(spark, sf_dir):
     return R.explode_bridge(d.withColumn("__w", arr), "doc_id", "__w", "word")
 
 
+@register(
+    "asof_enrich",
+    """
+    WITH versions AS (
+      SELECT user_id, ts AS valid_from, ts AS err_ts,
+             CAST(FLOOR(max(value)*100 + 0.5) AS BIGINT) AS err_cents
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), evs AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'error'
+    )
+    SELECT e.event_id, e.user_id, e.event_type, v.err_cents,
+           epoch_us(v.err_ts) AS err_us
+    FROM evs e ASOF LEFT JOIN versions v
+      ON e.user_id = v.user_id AND e.ts >= v.valid_from
+    """,
+)
+def asof_enrich(spark, sf_dir):
+    """Temporal as-of enrichment: every non-error event carries the value
+    and time of the latest preceding error for its user — the CDC
+    "dimension version valid at event time" join, checked against DuckDB's
+    native ASOF LEFT JOIN. Executes as ONE shuffle-by-key window pass
+    (union + last-carry-forward), never a range/theta join."""
+    e = _t(spark, sf_dir, "events")
+    versions = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(_cents(F.max("value")).alias("err_cents"))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("ts").alias("err_ts"),
+            "err_cents",
+        )
+    )
+    evs = e.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return R.asof_join(
+        evs, versions, key="user_id", left_ts="ts", right_ts="valid_from"
+    ).select(
+        "event_id", "user_id", "event_type", "err_cents",
+        _ts_us(F.col("err_ts")).alias("err_us"),
+    )
+
+
 # =====================================================================
 # Set operations (SURVEY §2.7)
 # =====================================================================
@@ -519,6 +565,37 @@ def u3_set_difference(spark, sf_dir):
     hi = li.filter(F.col("l_quantity") > 45).select(F.col("l_partkey").alias("p_partkey")).distinct()
     big = p.filter(F.col("p_size") >= 10).select("p_partkey")
     return hi.exceptAll(big.distinct()).distinct()
+
+
+@register(
+    "u2_concat_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id, 'long' AS src FROM documents WHERE n_chars >= 400
+      UNION ALL
+      SELECT doc_id, 'en' AS src FROM documents WHERE lang = 'en'
+    )
+    SELECT doc_id, min(src) AS first_src, CAST(count(*) AS BIGINT) AS n_copies
+    FROM u GROUP BY doc_id
+    """,
+)
+def u2_concat_dedup(spark, sf_dir):
+    """U2: concatenate two overlapping extracts then dedup by key — the
+    reference's multi-feed concat+dedup (``pmc_text/extract.py:104-106``,
+    ``pl.concat([df, df_noncomm]); df.unique()``). Keep-one is
+    deterministic (min src), the
+    overlap count is preserved; one union + one combinable groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("n_chars") >= 400).select("doc_id", F.lit("long").alias("src"))
+    b = d.filter(F.col("lang") == "en").select("doc_id", F.lit("en").alias("src"))
+    return (
+        a.unionByName(b)
+        .groupBy("doc_id")
+        .agg(
+            F.min("src").alias("first_src"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
 
 
 # =====================================================================
@@ -1011,6 +1088,41 @@ def ann_lsh_topk(spark, sf_dir):
     (~n/2^planes of the data) then rank — the scale path."""
     e = _t(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(e, [1.0] * _DIMS, dims=_DIMS, n_planes=4, k=10)
+
+
+def _ivf_sql(n_centroids: int = 8, nprobe: int = 2) -> str:
+    cents = S.centroid_matrix(n_centroids, _DIMS)
+    d_exprs = []
+    for c in cents:
+        terms = " + ".join(
+            f"((CAST(embedding[{i+1}] AS DOUBLE) - {c[i]}) * "
+            f"(CAST(embedding[{i+1}] AS DOUBLE) - {c[i]}))"
+            for i in range(_DIMS)
+        )
+        d_exprs.append(f"({terms})")
+    dl = "[" + ", ".join(d_exprs) + "]"
+    probe = S.query_probe_cells([1.0] * _DIMS, _DIMS, n_centroids, nprobe)
+    cells = ", ".join(str(p) for p in probe)
+    return f"""
+    WITH celled AS (
+      SELECT vec_id, embedding, {dl} AS dl FROM embeddings
+    ), probed AS (
+      SELECT vec_id, embedding FROM celled
+      WHERE list_indexof(dl, list_aggregate(dl, 'min')) IN ({cells})
+    )
+    SELECT vec_id, {_COS_SQL} AS cos_sim
+    FROM probed ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+@register("ann_ivf_topk", _ivf_sql(8, 2))
+def ann_ivf_topk(spark, sf_dir):
+    """ANN via IVF coarse quantization: nearest-centroid cell per vector
+    (pure column exprs), then rank only the query's nprobe=2 of 8 cells —
+    ~25% of the data scanned here, and with cell-partitioned storage the
+    other cells are pruned at the file level. Deterministic md5-derived
+    centroids keep it oracle-checkable; a deployment would train them."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(e, [1.0] * _DIMS, dims=_DIMS, n_centroids=8, nprobe=2)
 
 
 @register(

@@ -91,3 +91,25 @@ def test_fix_encoding_drops_invalid_utf8(spark):
     got = {r.id: r.text for r in fix_encoding(df, "payload").collect()}
     for i, r in enumerate(raw):
         assert got[i] == r.decode("utf-8", errors="ignore"), (i, r)
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive-tie, carry-latest, and no-preceding-version-null semantics
+    of the union+window as-of join (mirrors DuckDB ASOF LEFT JOIN >=)."""
+    left = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 10, "b"), ("u1", 20, "c"), ("u2", 7, "d")],
+        "k string, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 15, 150), ("u3", 1, 999)],
+        "k string, valid_from long, attr int",
+    )
+    got = {
+        (r.k, r.ts): r.attr
+        for r in R.asof_join(left, right, key="k", left_ts="ts",
+                             right_ts="valid_from").collect()
+    }
+    assert got[("u1", 5)] is None          # before any version
+    assert got[("u1", 10)] == 100          # tie is inclusive (>=)
+    assert got[("u1", 20)] == 150          # latest preceding, not first
+    assert got[("u2", 7)] is None          # key with no versions at all
