@@ -116,6 +116,31 @@ STEAL_OK = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_OK", "0.02"))
 PROBE_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_OK", "0.85"))
 
 
+def _wait_writeback_drain(max_mb: int = 256, timeout_s: int = 180) -> bool:
+    """Sync and wait until dirty/writeback pages drop below ``max_mb``.
+
+    The bench's own earlier phases write GBs of parquet (/tmp is ext4 on
+    the shared virtio disk); the kernel flushes those dirty pages for
+    minutes afterwards and throttles new writers meanwhile. A scaling
+    sample taken in that window measures writeback throttling, not the
+    engine — with clean steal AND clean DRAM probes (measured: 4x lower
+    replay throughput, probes ~8.5 GB/s throughout). Draining first makes
+    samples independent of whatever ran before them."""
+    os.sync()
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        vals = {}
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                k = ln.split(":")[0]
+                if k in ("Dirty", "Writeback"):
+                    vals[k] = int(ln.split()[1])
+        if (vals.get("Dirty", 0) + vals.get("Writeback", 0)) // 1024 <= max_mb:
+            return True
+        time.sleep(2)
+    return False
+
+
 def _dram_probe_mbps(mb: int = 256, reps: int = 3) -> float:
     """Single-thread DRAM-bandwidth probe (large memcpy), best of ``reps``.
 
@@ -253,6 +278,10 @@ def replay_only(args) -> None:
     run_replay(spark, log_path, warm_chunk, warm_chunk, args.mode,
                args.buckets, os.path.join(workdir, "warm"), dedup=args.dedup,
                fanout=args.fanout, retries=1, max_batches=1)
+    # Writeback from the warmup (and anything before this subprocess) must
+    # drain before timing starts — the kernel throttles new writers while
+    # flushing, invisibly to both steal jiffies and the DRAM probe.
+    _wait_writeback_drain()
     # DRAM probes bracket the timed run: ambient-bandwidth evidence for the
     # parent's pair-cleanliness gate (steal jiffies can't see bus neighbors).
     # With --probe-floor the subprocess also WAITS (<=120 s) for a quiet

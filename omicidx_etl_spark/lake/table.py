@@ -262,6 +262,27 @@ class LakeTable:
             out = out.drop(SEQ_COL, DELETED_COL)
         return out
 
+    def lookup(self, keys: list) -> DataFrame:
+        """Point lookup by key(s): bucket-pruned read + key filter.
+
+        A key lives in exactly one bucket (the table's hash transform), so
+        the scan touches only ``len(set(bucket(k)))`` of ``n_buckets``
+        bucket directories — O(table/n_buckets) I/O per probed bucket
+        instead of a full-table scan, the lake-table analogue of the
+        reference's per-accession entity fetch
+        (``omicidx_etl/sra/catalog.py:151-168``). The key predicate is also
+        pushed into the parquet reader for row-group pruning within the
+        bucket."""
+        snap = self.snapshot()
+        key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([self.current_schema(snap)[key]])
+        )
+        buckets = sorted(
+            r["b"] for r in kdf.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+        )
+        return self.read(buckets=buckets).filter(F.col(key).isin(list(keys)))
+
     # ------------------------------------------------------------- overwrite
     def overwrite(
         self,

@@ -100,3 +100,23 @@ def test_idempotent_batch_guard(spark, tmp_path):
     # a different app id is not blocked
     s3 = t.merge(dedup_latest(ch), app_id="other", batch_id=0)
     assert not s3["summary"]["skipped"]
+
+
+def test_lookup_prunes_to_key_buckets(spark, tmp_path, monkeypatch):
+    """Point lookup must read only the buckets its keys hash to, and return
+    exactly those keys' current rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=8)
+    t.overwrite(datagen.gen_sequences(spark, 200, seed=5))
+    keys = ["doc_00000003", "doc_00000077"]
+
+    seen: dict[str, object] = {}
+    orig = LakeTable.read
+
+    def spy(self, buckets=None, **kw):
+        seen["buckets"] = buckets
+        return orig(self, buckets=buckets, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    out = t.lookup(keys).collect()
+    assert sorted(r.doc_id for r in out) == sorted(keys)
+    assert seen["buckets"] is not None and 1 <= len(seen["buckets"]) <= 2

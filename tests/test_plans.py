@@ -101,3 +101,49 @@ def test_whole_stage_codegen(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen spans render as "*(n) Operator" in the finalized AQE plan
     assert re.search(r"\*\(\d+\) ", plan), plan[:500]
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The as-of join must be the union+window plan: exactly one exchange
+    (hash by key) and no nested-loop/cartesian range join — a theta join
+    here explodes as events × versions at scale."""
+    plan = _plan(spark, "asof_enrich")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_ivf_cells_no_shuffle(spark):
+    """IVF quantization is a pure per-row expression — assigning cells must
+    not introduce any exchange before the top-k."""
+    from omicidx_etl_spark.functions.similarity import ivf_cells
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = (
+        ivf_cells(e, 64, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_prefilter_dedup_broadcasts_winners(spark):
+    """The prefilter dedup's wide side must join the winner set via
+    broadcast — no shuffle of the wide payload columns at all."""
+    from omicidx_etl_spark.cdc.replay import dedup_latest
+
+    log = spark.read.parquet(f"{SF_SMALL}/events.parquet").selectExpr(
+        "event_id as seq", "user_id as doc_id", "event_type as op", "value"
+    )
+    plan = (
+        dedup_latest(log, key="doc_id", seq="seq", method="prefilter")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only exchange feeds the narrow winner aggregation / broadcast —
+    # the wide side must not be hash-repartitioned
+    wide_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "value" in l
+    ]
+    assert wide_exchanges == [], wide_exchanges
