@@ -42,7 +42,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    """Explode word-n-grams, repartitioned by doc id BEFORE the explode.
+
+    Two reasons this shuffle goes on the 1× (pre-explosion) side: it costs
+    ~n_shingles× less bytes than shuffling after the explode, and explode
+    preserves partitioning, so every downstream ``groupBy(doc)``
+    (signatures, set sizes) is already co-located — no second shuffle.
+    Locally it also breaks the one-small-parquet-file = one-task trap that
+    would serialize the whole (interpreted, non-codegen) higher-order
+    shingle computation onto a single core."""
+    return df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
     )
 
@@ -103,18 +112,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def _rot(h, k: int):
+    """k-th hex rotation of a 32-char md5 string — the k-th 'permutation'.
+    A rotation of a uniform hash is itself uniform and the k rotations of
+    one md5 are pairwise independent enough for MinHash banding; computing
+    them costs two substrings instead of k md5 invocations."""
+    return F.concat(F.substring(h, k + 1, 32 - k), F.substring(h, 1, k))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, k: int = 16
 ) -> DataFrame:
-    """K-permutation MinHash signature per doc: sig[k] = min md5(k||shingle).
+    """K-permutation MinHash signature per doc in ONE wide aggregation:
+    sig[j] = min over shingles of rot_j(md5(shingle)).
 
-    One explode + one (doc, k) groupBy; partial agg combines map-side."""
-    sh = _exploded_shingles(df, id_col, text_col, n)
-    ks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("k")
-    hashed = sh.select("doc", ks, "shingle").withColumn(
-        "h", F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("shingle")))
+    Plan: explode shingles once, ONE md5 per shingle (not per (shingle,
+    permutation) — 8-16× less hashing than the naive k-explode), then a
+    single groupBy(doc) with k min-columns. No (doc, k) row explosion, no
+    second shuffle; every min is map-side combinable, so hot docs pre-reduce
+    per partition. Returns (doc, mh0..mh{k-1})."""
+    sh = _exploded_shingles(df, id_col, text_col, n).withColumn(
+        "h", F.md5(F.col("shingle"))
     )
-    return hashed.groupBy("doc", "k").agg(F.min("h").alias("minhash"))
+    return sh.groupBy("doc").agg(
+        *[F.min(_rot(F.col("h"), j)).alias(f"mh{j}") for j in range(k)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -126,17 +148,28 @@ def minhash_lsh_candidates(
     bands: int = 4,
 ) -> DataFrame:
     """LSH candidate pairs: split the K minhashes into ``bands`` bands of
-    K/bands rows; docs sharing any full band signature are candidates.
+    K/bands values; docs sharing any full band signature are candidates.
     The self-join runs per (band, signature) bucket — never O(n²)."""
     rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
-    band = (
-        sigs.withColumn("band", (F.col("k") / rows).cast("int"))
-        .groupBy("doc", "band")
-        .agg(F.array_join(F.sort_array(F.collect_list("minhash")), "|").alias("sig"))
+    band_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows + j}") for j in range(rows)]
+                    ).alias("sig"),
+                )
+                for b in range(bands)
+            ]
+        )
     )
-    a = band.alias("a")
-    b = band.alias("b")
+    banded = sigs.select("doc", band_col.alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(b, ["band", "sig"])
         .filter(F.col("a.doc") < F.col("b.doc"))
@@ -154,9 +187,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16) 
     words = F.explode(
         F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower)
     ).alias("w")
-    base = df.select(F.col(id_col).alias("doc"), words).withColumn(
-        "h", F.md5(F.col("w"))
-    )
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc"), words
+    ).withColumn("h", F.md5(F.col("w")))
     sums = base.groupBy("doc").agg(
         *[
             F.sum(

@@ -134,6 +134,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     MinHash — the rolling-hash winnowing analogue, order-invariant and
     cross-engine checkable)."""
     sh = shingles_expr(F.col(text_col), n)
-    return df.withColumn(
+    # spread the per-doc (interpreted higher-order) hashing across cores —
+    # a single small parquet file otherwise serializes it onto one task
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(nparts).withColumn(
         "fingerprint", F.array_min(F.transform(sh, lambda s: F.md5(s)))
     )

@@ -946,27 +946,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "doc_id", n=2, threshold=0.12)
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+def _minhash_lsh_sql(k: int = 8, bands: int = 4) -> str:
+    rows = k // bands
+    rot = lambda j: f"(substr(h, {j+1}, {32-j}) || substr(h, 1, {j}))"  # noqa: E731
+    mins = ", ".join(f"min({rot(j)}) AS mh{j}" for j in range(k))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, "
+        + " || '|' || ".join(f"mh{b * rows + j}" for j in range(rows))
+        + " AS sig FROM mh"
+        for b in range(bands)
+    )
+    return f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest({_duck_shingles(2)}) AS shingle FROM documents
-    ), hk AS (
-      SELECT doc, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks
-      GROUP BY doc, k
+      SELECT doc_id AS doc, md5(unnest({_duck_shingles(2)})) AS h FROM documents
+    ), mh AS (
+      SELECT doc, {mins} FROM sh GROUP BY doc
     ), band AS (
-      SELECT doc, CAST(floor(k / 2.0) AS INT) AS band,
-             array_to_string(list_sort(list(minhash)), '|') AS sig
-      FROM hk GROUP BY doc, CAST(floor(k / 2.0) AS INT)
+      {band_selects}
     )
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM band a JOIN band b USING (band, sig) WHERE a.doc < b.doc
-    """,
-)
+    """
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql(8, 4))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs: shingle→K minhashes→band buckets→
-    bucket-local self-join (never O(n²))."""
+    """MinHash+LSH candidate pairs: shingle→K rotation-minhashes (ONE md5
+    per shingle, single wide groupBy)→band buckets→bucket-local self-join
+    (never O(n²))."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.minhash_lsh_candidates(d, "doc_id", n=2, k=8, bands=4)
 

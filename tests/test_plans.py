@@ -147,3 +147,21 @@ def test_prefilter_dedup_broadcasts_winners(spark):
         if "Exchange hashpartitioning" in l and "value" in l
     ]
     assert wide_exchanges == [], wide_exchanges
+
+
+def test_minhash_single_shuffle(spark):
+    """MinHash signatures: the only exchange is the pre-explode repartition
+    by doc — the groupBy(doc) must reuse that partitioning (explode is
+    partitioning-preserving), never shuffle the n_shingles-times-larger
+    exploded rows."""
+    from omicidx_etl_spark.functions.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    plan = (
+        minhash_signatures(d, "doc_id", n=2, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
