@@ -112,30 +112,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def _rot(h, k: int):
-    """k-th hex rotation of a 32-char md5 string — the k-th 'permutation'.
-    A rotation of a uniform hash is itself uniform and the k rotations of
-    one md5 are pairwise independent enough for MinHash banding; computing
-    them costs two substrings instead of k md5 invocations."""
-    return F.concat(F.substring(h, k + 1, 32 - k), F.substring(h, 1, k))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, k: int = 16
 ) -> DataFrame:
     """K-permutation MinHash signature per doc in ONE wide aggregation:
-    sig[j] = min over shingles of rot_j(md5(shingle)).
+    sig[j] = min over shingles of md5(j || '|' || shingle).
 
-    Plan: explode shingles once, ONE md5 per shingle (not per (shingle,
-    permutation) — 8-16× less hashing than the naive k-explode), then a
-    single groupBy(doc) with k min-columns. No (doc, k) row explosion, no
-    second shuffle; every min is map-side combinable, so hot docs pre-reduce
-    per partition. Returns (doc, mh0..mh{k-1})."""
-    sh = _exploded_shingles(df, id_col, text_col, n).withColumn(
-        "h", F.md5(F.col("shingle"))
-    )
+    Plan: explode shingles once, then a single groupBy(doc) computing all K
+    mins as columns — no (doc, k) row explosion, no second shuffle (the
+    pre-explode repartition co-locates docs); every min is map-side
+    combinable, so hot docs pre-reduce per partition. The K hashes stay
+    fully independent per position: a cheaper rotation scheme (K rotations
+    of one md5) was measured to DOUBLE the false-candidate rate (874 vs 446
+    pairs at sf0.01) because mins over rotated strings correlate — and at
+    scale, candidate verification cost dominates hashing cost. Returns
+    (doc, mh0..mh{k-1})."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
     return sh.groupBy("doc").agg(
-        *[F.min(_rot(F.col("h"), j)).alias(f"mh{j}") for j in range(k)]
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+            for j in range(k)
+        ]
     )
 
 

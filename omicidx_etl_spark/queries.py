@@ -948,8 +948,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_lsh_sql(k: int = 8, bands: int = 4) -> str:
     rows = k // bands
-    rot = lambda j: f"(substr(h, {j+1}, {32-j}) || substr(h, 1, {j}))"  # noqa: E731
-    mins = ", ".join(f"min({rot(j)}) AS mh{j}" for j in range(k))
+    mins = ", ".join(
+        f"min(md5('{j}|' || shingle)) AS mh{j}" for j in range(k)
+    )
     band_selects = " UNION ALL ".join(
         f"SELECT doc, {b} AS band, "
         + " || '|' || ".join(f"mh{b * rows + j}" for j in range(rows))
@@ -958,7 +959,7 @@ def _minhash_lsh_sql(k: int = 8, bands: int = 4) -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id AS doc, md5(unnest({_duck_shingles(2)})) AS h FROM documents
+      SELECT doc_id AS doc, unnest({_duck_shingles(2)}) AS shingle FROM documents
     ), mh AS (
       SELECT doc, {mins} FROM sh GROUP BY doc
     ), band AS (
@@ -970,9 +971,9 @@ def _minhash_lsh_sql(k: int = 8, bands: int = 4) -> str:
 
 @register("dedup_minhash_lsh", _minhash_lsh_sql(8, 4))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs: shingle→K rotation-minhashes (ONE md5
-    per shingle, single wide groupBy)→band buckets→bucket-local self-join
-    (never O(n²))."""
+    """MinHash+LSH candidate pairs: shingle→K position-independent
+    minhashes (single wide groupBy, no k-explode)→band buckets→
+    bucket-local self-join (never O(n²))."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.minhash_lsh_candidates(d, "doc_id", n=2, k=8, bands=4)
 
