@@ -119,6 +119,7 @@ class LakeTable:
             #                     "deltas": [{"dir", "schema_id"}, ...]}
             "buckets": {str(b): _norm_entry(None) for b in range(n_buckets)},
             "txn": {},  # app_id -> high-water batch_id
+            "seq_ceiling": -1,
             "summary": {"operation": "create", "total_rows": 0},
             "committed_at": time.time(),
         }
@@ -157,6 +158,18 @@ class LakeTable:
         os.replace(ptmp, self._pointer_path())
         self._snap = snap
 
+    def snapshot_at(self, sid: int) -> dict[str, Any]:
+        """Load a pinned snapshot by id (time travel). Raises with a clear
+        message if the snapshot has been expired (``expire_snapshots``)."""
+        path = self._snap_path(sid)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {sid} not found under {self._meta_dir} "
+                "(expired or never committed)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
     def history(self) -> list[dict[str, Any]]:
         snaps = []
         for name in sorted(os.listdir(self._meta_dir)):
@@ -189,8 +202,15 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         include_system: bool = False,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
+
+        ``as_of`` pins the read to a historical snapshot id (Iceberg
+        ``VERSION AS OF`` time travel): the scan resolves that snapshot's
+        manifest and schema, so a reader sees exactly the table state of
+        that commit regardless of later merges/compactions (until
+        ``expire_snapshots`` reclaims it).
 
         Data dirs are grouped by the schema id they were written under; each
         group is read with its own (exact) physical schema, aligned to the
@@ -203,7 +223,7 @@ class LakeTable:
         are filtered out unless requested; system columns (``__seq``,
         ``__deleted``) are dropped unless requested.
         """
-        snap = self.snapshot()
+        snap = self.snapshot() if as_of is None else self.snapshot_at(as_of)
         key = snap["table"]["key"]
         cur_phys = _phys(self.current_schema(snap))
         want = set(range(snap["table"]["n_buckets"])) if buckets is None else set(buckets)
@@ -283,6 +303,92 @@ class LakeTable:
         )
         return self.read(buckets=buckets).filter(F.col(key).isin(list(keys)))
 
+    def changes(
+        self,
+        from_sid: int,
+        to_sid: int | None = None,
+        include_seq: bool = False,
+    ) -> DataFrame:
+        """Incremental changelog scan between two snapshots (Iceberg's
+        ``table_changes`` / ``incremental read``): the **net change per
+        key** committed after ``from_sid`` up to ``to_sid`` (default:
+        current). One row per changed key with ``_change_type`` ∈
+        {'upsert', 'delete'}; keys untouched in the interval do not appear.
+
+        Physical plan: scan only data dirs added between the two manifests
+        — MOR delta dirs are new data and stream through unfiltered, while
+        new *base* dirs (COW merges / compaction rewrites) also carry old
+        rows, so they are filtered to ``__seq > from.seq_ceiling`` (the
+        high-water mark the *from* snapshot had seen). Net-per-key is one
+        map-side-combinable ``max_by`` over just the changed rows — cost is
+        O(changes in the interval), never O(table), which is what makes a
+        downstream incremental consumer viable at 10^10 rows.
+
+        Caveat (documented contract): a key whose only event in the
+        interval carries a seq ≤ the from-snapshot's ceiling (out-of-order
+        late arrival of a brand-new key) is visible through MOR commits but
+        not through COW rewrites of that interval. The replay pipeline
+        assigns monotone seqs per commit, where the distinction never
+        arises."""
+        to_snap = self.snapshot() if to_sid is None else self.snapshot_at(to_sid)
+        from_snap = self.snapshot_at(from_sid)
+        floor = from_snap.get("seq_ceiling", -1)
+        key = to_snap["table"]["key"]
+        cur_phys = _phys(self.current_schema(to_snap))
+
+        old_dirs: set[str] = set()
+        for raw in from_snap["buckets"].values():
+            e = _norm_entry(raw)
+            for fe in ([e["base"]] if e["base"] else []) + e["deltas"]:
+                old_dirs.add(fe["dir"])
+        # (schema_id, is_rewrite) -> dirs added since from_snap
+        by_schema: dict[tuple[int, bool], list[str]] = {}
+        for raw in to_snap["buckets"].values():
+            e = _norm_entry(raw)
+            if e["base"] and e["base"]["dir"] not in old_dirs:
+                fe = e["base"]
+                by_schema.setdefault((fe["schema_id"], True), []).append(
+                    os.path.join(self.root, fe["dir"])
+                )
+            for fe in e["deltas"]:
+                if fe["dir"] not in old_dirs:
+                    by_schema.setdefault((fe["schema_id"], False), []).append(
+                        os.path.join(self.root, fe["dir"])
+                    )
+
+        parts: list[DataFrame] = []
+        for (sid, is_rewrite), dirs in sorted(by_schema.items()):
+            s = _phys(T.StructType.fromJson(json.loads(to_snap["schemas"][str(sid)])))
+            df = self.spark.read.schema(s).parquet(*dirs)
+            if is_rewrite:
+                df = df.filter(F.col(SEQ_COL) > F.lit(floor))
+            parts.append(_align(df, cur_phys))
+        if not parts:
+            base = self.spark.createDataFrame([], cur_phys)
+        else:
+            base = parts[0]
+            for p in parts[1:]:
+                base = base.unionByName(p)
+
+        payload = [c for c in base.columns if c != key]
+        row = F.max_by(
+            F.struct(*[F.col(c) for c in payload]), F.col(SEQ_COL)
+        ).alias("__r")
+        net = (
+            base.groupBy(key)
+            .agg(row)
+            .select(key, *[F.col(f"__r.{c}").alias(c) for c in payload])
+        )
+        out = net.withColumn(
+            "_change_type",
+            F.when(
+                F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")
+            ).otherwise(F.lit("upsert")),
+        )
+        if include_seq:
+            out = out.withColumn("_seq", F.col(SEQ_COL))
+        return out.drop(SEQ_COL, DELETED_COL)
+
     # ------------------------------------------------------------- overwrite
     def overwrite(
         self,
@@ -310,7 +416,7 @@ class LakeTable:
         buckets = _base_only_buckets(rel, nb, snap["current_schema_id"])
         return self._commit(
             snap, new_sid, buckets, app_id, batch_id,
-            summary={"operation": "overwrite"},
+            summary={"operation": "overwrite", "max_seq": seq_value},
         )
 
     # ----------------------------------------------------------------- merge
@@ -377,6 +483,7 @@ class LakeTable:
                 obs,
                 F.count(F.lit(1)).alias("rows_written"),
                 F.sum(F.col(DELETED_COL).cast("long")).alias("tombstone_rows"),
+                F.max(F.col(SEQ_COL)).alias("max_seq"),
             )
             # fanout=True skips the pre-write shuffle — each input task
             # writes into the bucket dirs it touches (Iceberg fanout writer),
@@ -398,6 +505,7 @@ class LakeTable:
                 "touched_buckets": len(rel),
                 "rows_written": int(metrics.get("rows_written") or 0),
                 "tombstone_rows": int(metrics.get("tombstone_rows") or 0),
+                "max_seq": int(metrics.get("max_seq") or -1),
             }
             if extra_summary:
                 summary.update(extra_summary() if callable(extra_summary) else extra_summary)
@@ -438,6 +546,7 @@ class LakeTable:
                 obs,
                 F.count(F.lit(1)).alias("rows_written"),
                 F.sum(F.col(DELETED_COL).cast("long")).alias("tombstone_rows"),
+                F.max(F.col(SEQ_COL)).alias("max_seq"),
             )
             .withColumn(BUCKET_COL, bucket_expr(key, nb))
         )
@@ -457,6 +566,7 @@ class LakeTable:
             "touched_buckets": len(touched),
             "rows_written": int(metrics.get("rows_written") or 0),
             "tombstone_rows": int(metrics.get("tombstone_rows") or 0),
+            "max_seq": int(metrics.get("max_seq") or -1),
         }
         if extra_summary:
             summary.update(extra_summary() if callable(extra_summary) else extra_summary)
@@ -636,6 +746,13 @@ class LakeTable:
             "buckets": buckets,
             "txn": txn,
             "summary": dict(summary, skipped=False),
+            # monotone high-water mark of event seqs ever written; the
+            # changelog scan (``changes``) uses the *from* snapshot's
+            # ceiling to exclude rows that rewrites (compaction/COW)
+            # carried into newer data dirs.
+            "seq_ceiling": max(
+                parent.get("seq_ceiling", -1), int(summary.get("max_seq", -1))
+            ),
             "committed_at": time.time(),
         }
         self._write_snapshot(snap)

@@ -816,7 +816,7 @@ _STOP_SQL = "['" + "', '".join(X.STOPWORDS) + "']"
     "text_quality",
     f"""
     SELECT doc_id,
-           len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_words,
+           CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS n_words,
            CAST(length(text) AS BIGINT) AS n_chars,
            round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct_ratio,
            round(len(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
@@ -845,8 +845,8 @@ def text_quality(spark, sf_dir):
     "token_count",
     """
     SELECT doc_id,
-           len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_words,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+           CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
     FROM documents
     """,
 )

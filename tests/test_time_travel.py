@@ -1,0 +1,162 @@
+"""Time travel (read ``as_of``) and incremental changelog (``changes``):
+Iceberg-parity snapshot features over the lake table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.cdc import dedup_latest
+from omicidx_etl_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def _changes_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4)
+    t.overwrite(datagen.gen_sequences(spark, 100, seed=11))  # sid 1, seq 0
+    return t
+
+
+def test_read_as_of_sees_historical_state(spark, table):
+    sid1 = table.snapshot()["snapshot_id"]
+    table.merge(
+        dedup_latest(_changes_df(spark, [(5, "U", "doc_00000001", [9, 9], 2, "web")]))
+    )
+    table.merge(
+        dedup_latest(_changes_df(spark, [(6, "D", "doc_00000002", None, None, None)]))
+    )
+    # current: update applied, delete applied
+    cur = table.read()
+    assert cur.filter("doc_id = 'doc_00000001'").first()["tokens"] == [9, 9]
+    assert cur.filter("doc_id = 'doc_00000002'").count() == 0
+    # as_of sid1: pre-change state fully intact
+    old = table.read(as_of=sid1)
+    assert old.count() == 100
+    assert old.filter("doc_id = 'doc_00000001'").first()["tokens"] != [9, 9]
+    assert old.filter("doc_id = 'doc_00000002'").count() == 1
+
+
+def test_read_as_of_survives_compaction(spark, table):
+    sid1 = table.snapshot()["snapshot_id"]
+    table.merge(
+        dedup_latest(_changes_df(spark, [(5, "U", "doc_00000003", [7], 1, "web")])),
+        mode="mor",
+    )
+    table.compact()
+    old = table.read(as_of=sid1)
+    assert old.filter("doc_id = 'doc_00000003'").first()["tokens"] != [7]
+
+
+def test_as_of_missing_snapshot_raises(table):
+    with pytest.raises(FileNotFoundError, match="snapshot 999"):
+        table.read(as_of=999)
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_changes_net_per_key(spark, table, mode):
+    sid1 = table.snapshot()["snapshot_id"]
+    # interval: doc1 updated twice (net = seq 6), doc2 deleted, doc_new inserted
+    table.merge(
+        dedup_latest(
+            _changes_df(
+                spark,
+                [
+                    (5, "U", "doc_00000001", [5], 1, "web"),
+                    (6, "D", "doc_00000002", None, None, None),
+                ],
+            )
+        ),
+        mode=mode,
+    )
+    table.merge(
+        dedup_latest(
+            _changes_df(
+                spark,
+                [
+                    (7, "U", "doc_00000001", [6, 6], 2, "web"),
+                    (8, "U", "doc_new", [1], 1, "pdf"),
+                ],
+            )
+        ),
+        mode=mode,
+    )
+    ch = {r["doc_id"]: r for r in table.changes(sid1).collect()}
+    assert set(ch) == {"doc_00000001", "doc_00000002", "doc_new"}
+    assert ch["doc_00000001"]["_change_type"] == "upsert"
+    assert ch["doc_00000001"]["tokens"] == [6, 6]  # net latest, not intermediate
+    assert ch["doc_00000002"]["_change_type"] == "delete"
+    assert ch["doc_new"]["_change_type"] == "upsert"
+
+
+def test_changes_empty_interval(table):
+    sid = table.snapshot()["snapshot_id"]
+    assert table.changes(sid).count() == 0
+
+
+def test_changes_bounded_to_sid(spark, table):
+    sid1 = table.snapshot()["snapshot_id"]
+    s2 = table.merge(
+        dedup_latest(_changes_df(spark, [(5, "U", "doc_00000004", [4], 1, "web")]))
+    )
+    table.merge(
+        dedup_latest(_changes_df(spark, [(6, "U", "doc_00000005", [5], 1, "web")]))
+    )
+    ch = table.changes(sid1, to_sid=s2["snapshot_id"])
+    assert [r["doc_id"] for r in ch.collect()] == ["doc_00000004"]
+
+
+def test_changes_excludes_compaction_rewrites(spark, table):
+    """Compaction rewrites old rows into new base dirs; the changelog must
+    not re-emit them (seq-ceiling filter on rewrite dirs)."""
+    table.merge(
+        dedup_latest(_changes_df(spark, [(5, "U", "doc_00000006", [3], 1, "web")])),
+        mode="mor",
+    )
+    sid_after = table.snapshot()["snapshot_id"]
+    table.compact()  # rewrites every dirty bucket's full content
+    assert table.changes(sid_after).count() == 0
+    # and a post-compaction merge is still visible
+    table.merge(
+        dedup_latest(_changes_df(spark, [(9, "U", "doc_00000007", [2], 1, "web")])),
+        mode="mor",
+    )
+    got = table.changes(sid_after).collect()
+    assert [r["doc_id"] for r in got] == ["doc_00000007"]
+
+
+def test_changes_include_seq_orders_consumers(spark, table):
+    sid1 = table.snapshot()["snapshot_id"]
+    table.merge(
+        dedup_latest(_changes_df(spark, [(42, "U", "doc_00000008", [1], 1, "web")]))
+    )
+    row = table.changes(sid1, include_seq=True).first()
+    assert row["_seq"] == 42
+
+
+def test_seq_ceiling_tracked_across_commit_kinds(spark, table):
+    assert table.snapshot()["seq_ceiling"] == 0  # overwrite seq_value
+    table.merge(
+        dedup_latest(_changes_df(spark, [(17, "U", "doc_00000009", [1], 1, "web")])),
+        mode="mor",
+    )
+    assert table.snapshot()["seq_ceiling"] == 17
+    table.compact()
+    assert table.snapshot()["seq_ceiling"] == 17  # maintenance doesn't move it
