@@ -43,7 +43,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench_cache")
+
+
+def _scratch_dir() -> str:
+    """Bench scratch root: tmpfs (/dev/shm) when it has headroom, else /tmp.
+
+    The shared virtio disk is a *fixed* host resource that neighbors can
+    (and do) saturate — measured 2026-08-17: <10 MB/s fdatasync writes vs
+    ~600 MB/s healthy, flattening 1-vs-2-core replay to 1.01x with clean
+    steal AND clean DRAM probes (the job writes ~2 GB/sample, so every
+    sample became a disk-queue measurement). On a real N→4N *executor*
+    scale-up, storage bandwidth grows with the cluster; a fixed local disk
+    is exactly the resource the scaling evidence must not be bound by, so
+    bench I/O (change log, tables, shuffle spill) lives on tmpfs — the
+    single-box proxy for storage-that-scales. DRAM probes still guard the
+    genuinely shared resource that remains."""
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize > (32 << 30):
+            return os.path.join(shm, "spark_graft_bench")
+    except OSError:
+        pass
+    return "/tmp/spark_graft_bench"
+
+
+SCRATCH = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH") or _scratch_dir()
+CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", os.path.join(SCRATCH, "cache"))
 
 # Headline queries: one per operator family (windows/CDC, joins, aggs,
 # staging, dedup, ANN, text) — the full 39-query registry is exercised by
@@ -84,27 +110,52 @@ def _table_schema():
     )
 
 
-def _steal_jiffies() -> int:
-    """Cumulative CPU-steal jiffies for this VM (field 8 of /proc/stat cpu).
-    The sandbox host occasionally steals 10-70% of CPU for minutes at a
-    time; a throughput sample taken inside such an episode measures the
-    host, not the engine, so timed sections check this before/after and
-    retry stolen runs."""
+HOST_CPUS = os.cpu_count() or 32
+
+
+def _affinity() -> set[int] | None:
     try:
+        return os.sched_getaffinity(0)
+    except (AttributeError, OSError):
+        return None
+
+
+def _steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies over the CPUs this process may run on
+    (field 8 of the per-cpu /proc/stat lines). The sandbox host
+    occasionally steals 10-70% of CPU for minutes at a time; a throughput
+    sample taken inside such an episode measures the host, not the engine.
+
+    Affinity-aware on purpose: for a pinned 1-core sample, VM-wide steal
+    dilutes the signal 32× — 40% steal on the pinned core reads as 1.2%
+    globally and sails through the gate (observed on 2026-08-17). Summing
+    only the affinity set measures exactly the cores the timed job
+    competes for; unpinned runs degenerate to the VM-wide counter."""
+    cpus = _affinity()
+    try:
+        if cpus is None or len(cpus) >= HOST_CPUS:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        total = 0
         with open("/proc/stat") as f:
-            parts = f.readline().split()
-        return int(parts[8])
+            for ln in f:
+                name = ln.split(" ", 1)[0]
+                if not name.startswith("cpu"):
+                    break
+                if name != "cpu" and int(name[3:]) in cpus:
+                    total += int(ln.split()[8])
+        return total
     except (OSError, IndexError, ValueError):
         return 0
 
 
-HOST_CPUS = os.cpu_count() or 32
-
-
 def _steal_frac(steal_delta: int, wall_s: float) -> float:
     """Fraction of this run's CPU budget that the host stole (jiffies are
-    1/100 s; steal is VM-wide so normalize by every host CPU)."""
-    budget = max(wall_s, 0.001) * HOST_CPUS * 100
+    1/100 s; the budget is the affinity set's CPU-time, so pinned and
+    unpinned runs gate at the same relative severity)."""
+    cpus = _affinity()
+    ncpu = len(cpus) if cpus else HOST_CPUS
+    budget = max(wall_s, 0.001) * ncpu * 100
     return steal_delta / budget
 
 
@@ -243,10 +294,46 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _disk_probe_mbps(path: str = "/tmp", mb: int = 16) -> float:
+    """Shared-disk health probe: fdatasync-bounded sequential write, MB/s.
+
+    Purely diagnostic (bench I/O runs on tmpfs, see _scratch_dir) — emitted
+    in the bench JSON so a degraded-disk window is visible when comparing
+    rounds; the 2026-08-17 incident read 2.7 MB/s here while steal and DRAM
+    probes were both clean."""
+    import uuid
+
+    p = os.path.join(path, f".diskprobe-{uuid.uuid4().hex}")
+    buf = b"\x00" * (4 << 20)
+    t0 = time.perf_counter()
+    try:
+        fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        try:
+            for _ in range(mb // 4):
+                os.write(fd, buf)
+            os.fdatasync(fd)
+        finally:
+            os.close(fd)
+        return round(mb / (time.perf_counter() - t0), 1)
+    except OSError:
+        return -1.0
+    finally:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
 def _spark(master: str, cores: int):
     from omicidx_etl_spark.session import get_spark
 
-    return get_spark("bench", master=master, shuffle_partitions=cores)
+    return get_spark(
+        "bench",
+        master=master,
+        shuffle_partitions=cores,
+        # shuffle/spill scratch on tmpfs with the rest of the bench I/O
+        extra_conf={"spark.local.dir": os.path.join(SCRATCH, "spark_local")},
+    )
 
 
 def _pin_set(cores: int, base: int = 0) -> set[int]:
@@ -297,6 +384,7 @@ def replay_only(args) -> None:
                      args.buckets, workdir, dedup=args.dedup,
                      fanout=args.fanout, retries=1)
     res["probe_mbps"] = round(min(probe_pre, _dram_probe_mbps()), 1)
+    res["disk_mbps"] = _disk_probe_mbps()
     spark.stop()
     print(json.dumps(res))
 
@@ -501,6 +589,8 @@ def main() -> None:
         "sf": sf,
         "replay": replay,
         "scaling": scaling,
+        "scratch": SCRATCH,
+        "disk_mbps": _disk_probe_mbps(),
     }
     print(json.dumps(result))
 

@@ -118,6 +118,10 @@ class LakeTable:
             # bucket id (str) -> {"base": {"dir": relpath, "schema_id": int} | None,
             #                     "deltas": [{"dir", "schema_id"}, ...]}
             "buckets": {str(b): _norm_entry(None) for b in range(n_buckets)},
+            # Iceberg-style stable field ids, per schema id: column identity
+            # survives renames, so files written under any historical schema
+            # re-map to current names at read time (see _name_map).
+            "field_ids": {"0": {f.name: i for i, f in enumerate(schema.fields)}},
             "txn": {},  # app_id -> high-water batch_id
             "seq_ceiling": -1,
             "summary": {"operation": "create", "total_rows": 0},
@@ -249,6 +253,7 @@ class LakeTable:
             for sid, dirty in sorted(keys):
                 s = _phys(T.StructType.fromJson(json.loads(snap["schemas"][str(sid)])))
                 df = self.spark.read.schema(s).parquet(*by_schema[(sid, dirty)])
+                df = _remap(df, snap, sid)
                 parts.append(_align(df, cur_phys))
             if not parts:
                 return None
@@ -362,6 +367,7 @@ class LakeTable:
             df = self.spark.read.schema(s).parquet(*dirs)
             if is_rewrite:
                 df = df.filter(F.col(SEQ_COL) > F.lit(floor))
+            df = _remap(df, to_snap, sid)
             parts.append(_align(df, cur_phys))
         if not parts:
             base = self.spark.createDataFrame([], cur_phys)
@@ -572,13 +578,23 @@ class LakeTable:
             summary.update(extra_summary() if callable(extra_summary) else extra_summary)
         return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
 
-    def compact(self, buckets: list[int] | None = None) -> dict[str, Any]:
+    def compact(
+        self, buckets: list[int] | None = None, sort_by_key: bool = False
+    ) -> dict[str, Any]:
         """Fold merge-on-read delta files into the base (Iceberg
         ``rewrite_data_files``). Rewrites only buckets that carry deltas
         (optionally restricted to ``buckets``); tombstones are preserved —
         reclaim them separately via ``purge_tombstones``. Reads stay fast
         again afterwards: bucket entries return to base-only, so ``read``
-        skips the reconciliation aggregation."""
+        skips the reconciliation aggregation.
+
+        ``sort_by_key=True`` clusters each rewritten base by the bucket key
+        (Iceberg table *sort order* applied at rewrite time): parquet
+        row-group min/max stats on the key become tight, so the pushed key
+        predicate of ``lookup`` skips row groups inside the bucket — point
+        reads cost O(row group), not O(bucket). Sort cost is local to each
+        bucket task (no extra shuffle: the data is already clustered
+        per-bucket for the write)."""
         snap = self.snapshot()
         nb = snap["table"]["n_buckets"]
         todo = [
@@ -593,7 +609,7 @@ class LakeTable:
             buckets=todo, include_deleted=True, include_system=True
         ).withColumn(BUCKET_COL, bucket_expr(snap["table"]["key"], nb))
         new_sid = snap["snapshot_id"] + 1
-        rel = self._stage_write(merged, new_sid, nb)
+        rel = self._stage_write(merged, new_sid, nb, sort_by_key=sort_by_key)
         out = {b: _norm_entry(e) for b, e in snap["buckets"].items()}
         for b in todo:
             d = rel.get(b)
@@ -625,13 +641,66 @@ class LakeTable:
         )
 
     # -------------------------------------------------------- schema evolution
+    def _cur_field_ids(self, snap: dict) -> dict[str, int]:
+        fids = snap.get("field_ids") or {}
+        cur = fids.get(str(snap["current_schema_id"]))
+        if cur is not None:
+            return dict(cur)
+        # legacy snapshot: synthesize positional ids for the current schema
+        return {f.name: i for i, f in enumerate(self.current_schema(snap).fields)}
+
     def add_column(self, name: str, dtype: T.DataType) -> None:
         snap = self.snapshot()
         cur = self.current_schema(snap)
         if name in cur.fieldNames():
             return  # idempotent
+        ids = self._cur_field_ids(snap)
+        all_ids = [
+            i for m in (snap.get("field_ids") or {}).values() for i in m.values()
+        ] or list(ids.values())
+        ids[name] = max(all_ids, default=-1) + 1  # never reuse a retired id
         new = T.StructType(cur.fields + [T.StructField(name, dtype, True)])
-        self._evolve(snap, new, f"add_column {name}")
+        self._evolve(snap, new, f"add_column {name}", field_ids=ids)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column without rewriting data (Iceberg ``RENAME
+        COLUMN``): the stable field id carries identity, so files written
+        under the old name re-map at read time. The bucket key cannot be
+        renamed (its name is part of the table transform contract)."""
+        snap = self.snapshot()
+        cur = self.current_schema(snap)
+        if old == snap["table"]["key"]:
+            raise ValueError("cannot rename the bucket key column")
+        if old not in cur.fieldNames():
+            raise ValueError(f"no such column {old!r}")
+        if new in cur.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        ids = self._cur_field_ids(snap)
+        ids[new] = ids.pop(old)
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in cur.fields
+        ]
+        self._evolve(
+            snap, T.StructType(fields), f"rename_column {old}->{new}", field_ids=ids
+        )
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column without rewriting data: historical files keep the
+        bytes, readers stop projecting them (and column pruning means they
+        are never decoded). The retired field id is never reused, so a
+        later ``add_column`` with the same name is a NEW column — old
+        files' values do not resurrect under it (Iceberg drop semantics)."""
+        snap = self.snapshot()
+        cur = self.current_schema(snap)
+        if name == snap["table"]["key"]:
+            raise ValueError("cannot drop the bucket key column")
+        if name not in cur.fieldNames():
+            return  # idempotent
+        ids = self._cur_field_ids(snap)
+        ids.pop(name, None)
+        fields = [f for f in cur.fields if f.name != name]
+        self._evolve(snap, T.StructType(fields), f"drop_column {name}", field_ids=ids)
 
     def widen_column(self, name: str, dtype: T.DataType) -> None:
         snap = self.snapshot()
@@ -647,14 +716,29 @@ class LakeTable:
                 fields.append(T.StructField(name, dtype, f.nullable))
             else:
                 fields.append(f)
-        self._evolve(snap, T.StructType(fields), f"widen_column {name}")
+        self._evolve(
+            snap,
+            T.StructType(fields),
+            f"widen_column {name}",
+            field_ids=self._cur_field_ids(snap),
+        )
 
-    def _evolve(self, snap: dict, new_schema: T.StructType, op: str) -> None:
+    def _evolve(
+        self,
+        snap: dict,
+        new_schema: T.StructType,
+        op: str,
+        field_ids: dict[str, int] | None = None,
+    ) -> None:
         new_schema_id = max(int(k) for k in snap["schemas"]) + 1
         new = dict(snap)
         new["snapshot_id"] = snap["snapshot_id"] + 1
         new["parent_id"] = snap["snapshot_id"]
         new["schemas"] = dict(snap["schemas"], **{str(new_schema_id): new_schema.json()})
+        if field_ids is not None:
+            new["field_ids"] = dict(
+                snap.get("field_ids") or {}, **{str(new_schema_id): field_ids}
+            )
         new["current_schema_id"] = new_schema_id
         new["summary"] = {"operation": op}
         new["committed_at"] = time.time()
@@ -696,7 +780,12 @@ class LakeTable:
 
     # -------------------------------------------------------------- internals
     def _stage_write(
-        self, df: DataFrame, sid: int, nb: int, shuffle: bool = True
+        self,
+        df: DataFrame,
+        sid: int,
+        nb: int,
+        shuffle: bool = True,
+        sort_by_key: bool = False,
     ) -> dict[int, str]:
         """Write df (must carry BUCKET_COL) under data/snap-{sid}/ partitioned
         by bucket; returns {bucket: relpath} for buckets that produced files.
@@ -705,13 +794,20 @@ class LakeTable:
         bucket — the compacted-base layout). ``shuffle=False`` is the fanout
         writer: tasks write to every bucket they touch, trading file count
         for zero shuffle — right for high-rate delta appends, wrong for
-        bases (compaction always uses shuffle=True)."""
+        bases (compaction always uses shuffle=True). ``sort_by_key`` adds a
+        task-local key sort (tight row-group stats for point lookups)."""
         stage_rel = os.path.join("data", f"snap-{sid:09d}")
         stage = os.path.join(self.root, stage_rel)
         # One shuffle partition per bucket (not spark.sql.shuffle.partitions):
         # write tasks then align 1:1 with buckets, so task sizes are as even
         # as the bucket hash and no core waits on a multi-bucket straggler.
         out_df = df.repartition(nb, F.col(BUCKET_COL)) if shuffle else df
+        if sort_by_key:
+            # Leading BUCKET_COL matters: the dynamic-partition writer
+            # requires ordering by the partition column and would insert its
+            # own (key-order-destroying) sort unless the child's ordering
+            # already satisfies it.
+            out_df = out_df.sortWithinPartitions(BUCKET_COL, self.key)
         (
             out_df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -743,6 +839,7 @@ class LakeTable:
             "table": parent["table"],
             "current_schema_id": parent["current_schema_id"],
             "schemas": parent["schemas"],
+            "field_ids": parent.get("field_ids"),
             "buckets": buckets,
             "txn": txn,
             "summary": dict(summary, skipped=False),
@@ -785,6 +882,35 @@ def _phys(user_schema: T.StructType) -> T.StructType:
             T.StructField(DELETED_COL, T.BooleanType(), True),
         ]
     )
+
+
+def _remap(df: DataFrame, snap: dict, sid: int) -> DataFrame:
+    """Re-map a file group written under schema ``sid`` onto current
+    column names, joined on stable field ids: renamed fields alias to
+    their current name; fields whose id was retired (dropped columns) are
+    projected OUT even if a later ``add_column`` reused the name — old
+    bytes never resurrect under a new column. Identity (no projection
+    node) when no rename/drop separates the schemas or for legacy
+    snapshots without ``field_ids``."""
+    fids = snap.get("field_ids") or {}
+    cur = fids.get(str(snap["current_schema_id"]))
+    old = fids.get(str(sid))
+    if cur is None or old is None:
+        return df
+    id_to_cur = {v: k for k, v in cur.items()}
+    cols, changed = [], False
+    for c in df.columns:
+        if c in old:
+            oid = old[c]
+            if oid not in id_to_cur:
+                changed = True  # retired id: drop the physical column
+                continue
+            if id_to_cur[oid] != c:
+                changed = True
+                cols.append(F.col(c).alias(id_to_cur[oid]))
+                continue
+        cols.append(F.col(c))  # unchanged field or system column
+    return df.select(*cols) if changed else df
 
 
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:

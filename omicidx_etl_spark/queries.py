@@ -191,6 +191,43 @@ def cdc_replay_events(spark, sf_dir):
 
 
 @register(
+    "w3_changelog_interval",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    ) WHERE rn = 1
+    """,
+)
+def w3_changelog_interval(spark, sf_dir):
+    """Changelog semantics of ``LakeTable.changes`` inside the driver gate:
+    net change per key within a watermark interval — latest event per key
+    among only that interval's events, typed upsert/delete (tombstone op =
+    'error', the P5 convention). The engine variant
+    (``lake/table.py`` ``changes``) additionally prunes the scan to the
+    data dirs added between two snapshot manifests; this is its relational
+    core over the shared testdata, so the oracle gate covers the semantics
+    while ``tests/test_time_travel.py`` covers the manifest pruning."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    )
+    out = C.latest_per_key(ev, ["user_id"], ["ts", "event_id"], method="max_by")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("change_type"),
+        _cents(F.col("value")).alias("value_cents"),
+    )
+
+
+@register(
     "w2_surrogate_ids",
     """
     SELECT c_custkey, c_name,

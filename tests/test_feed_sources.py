@@ -287,6 +287,84 @@ def test_range_server_head_and_404_and_listing(served_dir):
     assert status == 200 and b"x.csv" in body
 
 
+def test_stream_xml_feed_into_lake_exactly_once(spark, tmp_path):
+    """End-to-end S4→engine: streaming XML feed → staging cast → versioned
+    merge into a LakeTable inside foreachBatch, with the (app_id, batch_id)
+    watermark giving exactly-once across a full re-run without checkpoint."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from omicidx_etl_spark.cdc import dedup_latest
+    from omicidx_etl_spark.lake import LakeTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def _doc_xml(docs):
+        recs = "".join(
+            f'<DOC seq="{s}" op="{op}"><ID>{d}</ID><TOKENS>{toks}</TOKENS></DOC>'
+            for s, op, d, toks in docs
+        )
+        return f"<DOCSET>{recs}</DOCSET>".encode()
+
+    (feed / "f1.xml.gz").write_bytes(
+        gzip.compress(_doc_xml([(1, "U", "d1", "1 2 3"), (2, "U", "d2", "4 5")]))
+    )
+    (feed / "f2.xml").write_bytes(
+        _doc_xml([(3, "U", "d1", "7 8"), (4, "D", "d2", "")])
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=2
+    )
+
+    fields = {"doc_id": "ID", "seq": "@seq", "op": "@op", "raw_tokens": "TOKENS"}
+
+    def run(ckpt: str):
+        stream = S.stream_xml_feed(
+            spark, str(feed), "DOC", fields, max_files_per_trigger=1
+        )
+        staged = stream.select(
+            F.col("doc_id"),
+            F.col("seq").cast("long").alias("seq"),
+            F.col("op"),
+            F.split(F.trim("raw_tokens"), r"\s+").cast("array<int>").alias("tokens"),
+            F.lit("xml_feed").alias("source"),
+        ).withColumn("n_tok", F.size("tokens").cast("int"))
+
+        def apply_batch(df, batch_id):
+            table.merge(
+                dedup_latest(df), app_id="xmlfeed", batch_id=batch_id, mode="mor"
+            )
+
+        q = (
+            staged.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    rows = {r["doc_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"d1"}  # d2 deleted by seq-4 tombstone
+    assert rows["d1"]["tokens"] == [7, 8]  # seq-3 supersedes seq-1
+    sid = table.snapshot()["snapshot_id"]
+
+    # full re-delivery without checkpoint: batch watermark skips both batches
+    run(str(tmp_path / "ckpt2"))
+    assert table.snapshot()["snapshot_id"] == sid
+    assert {r["doc_id"] for r in table.read().collect()} == {"d1"}
+
+
 def test_range_server_blocks_traversal(served_dir):
     url, _ = served_dir
     with pytest.raises(urllib.error.HTTPError) as exc:

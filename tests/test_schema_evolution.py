@@ -96,3 +96,85 @@ def test_evolution_is_idempotent(spark, tmp_path):
     t.widen_column("n", T.LongType())
     t.widen_column("n", T.LongType())  # no-op
     assert t.snapshot()["snapshot_id"] == sid + 1
+
+
+def _mk(spark, tmp_path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=2)
+    t.overwrite(spark.createDataFrame(rows, schema))
+    return t
+
+
+def test_rename_column_remaps_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("d1", 1, "a"), ("d2", 2, "b")])
+    t.rename_column("tag", "label")
+    assert t.current_schema().fieldNames() == ["doc_id", "n", "label"]
+    # old files (written as `tag`) read back under the new name
+    rows = {r["doc_id"]: r["label"] for r in t.read().collect()}
+    assert rows == {"d1": "a", "d2": "b"}
+    # merges after the rename use the new name; both generations reconcile
+    ch = spark.createDataFrame(
+        [(5, "U", "d1", 9, "z")],
+        "seq long, op string, doc_id string, n int, label string",
+    )
+    from omicidx_etl_spark.cdc import dedup_latest
+
+    t.merge(dedup_latest(ch), mode="mor")
+    rows = {r["doc_id"]: (r["n"], r["label"]) for r in t.read().collect()}
+    assert rows == {"d1": (9, "z"), "d2": (2, "b")}
+
+
+def test_rename_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("d1", 1, "a")])
+    with pytest.raises(ValueError, match="bucket key"):
+        t.rename_column("doc_id", "id")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("tag", "n")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    """Iceberg drop semantics: a re-added column with the same name is a
+    NEW field id — values from pre-drop files must stay null."""
+    t = _mk(spark, tmp_path, [("d1", 1, "old_a"), ("d2", 2, "old_b")])
+    t.drop_column("tag")
+    assert t.current_schema().fieldNames() == ["doc_id", "n"]
+    assert "tag" not in t.read().columns
+    t.add_column("tag", T.StringType())
+    vals = {r["doc_id"]: r["tag"] for r in t.read().collect()}
+    assert vals == {"d1": None, "d2": None}  # no resurrection
+    # new writes under the re-added field land normally
+    from omicidx_etl_spark.cdc import dedup_latest
+
+    ch = spark.createDataFrame(
+        [(7, "U", "d1", 1, "new_a")],
+        "seq long, op string, doc_id string, n int, tag string",
+    )
+    t.merge(dedup_latest(ch), mode="mor")
+    vals = {r["doc_id"]: r["tag"] for r in t.read().collect()}
+    assert vals == {"d1": "new_a", "d2": None}
+
+
+def test_rename_visible_in_time_travel_and_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("d1", 1, "a")])
+    sid0 = t.snapshot()["snapshot_id"]
+    t.rename_column("tag", "label")
+    from omicidx_etl_spark.cdc import dedup_latest
+
+    ch = spark.createDataFrame(
+        [(9, "U", "d1", 3, "c")],
+        "seq long, op string, doc_id string, n int, label string",
+    )
+    t.merge(dedup_latest(ch), mode="mor")
+    # as-of the pre-rename snapshot: old name
+    assert "tag" in t.read(as_of=sid0).columns
+    # changelog since then: new name, remapped values
+    chg = t.changes(sid0).collect()
+    assert len(chg) == 1 and chg[0]["label"] == "c"
