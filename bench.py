@@ -337,13 +337,21 @@ def _spark(master: str, cores: int):
 
 
 def _pin_set(cores: int, base: int = 0) -> set[int]:
-    """Stride-spread CPU set: {base, base+H/N, ...}. Adjacent vCPU ids on
-    this host share physical resources (measured ~40% replay penalty for
-    0-3 vs 0,8,16,24), so an N-core 'cluster' is emulated on maximally
-    separated cores; ``base`` rotates the set between samples so one bad
-    physical core cannot poison a whole level."""
-    stride = max(HOST_CPUS // cores, 1)
-    return {(base + i * stride) % HOST_CPUS for i in range(cores)}
+    """Stride-spread CPU set over cpus 1..H-1: {1+base, 1+base+stride, ...}.
+
+    Adjacent vCPU ids on this host share physical resources (measured ~40%
+    replay penalty for 0-3 vs 0,8,16,24), so an N-core 'cluster' is
+    emulated on maximally separated cores; ``base`` rotates the set
+    between samples so one bad physical core cannot poison a whole level.
+
+    cpu0 is excluded outright: it absorbs the VM's IRQ/timer/hypervisor
+    housekeeping, and a 1-core sample pinned there measured 1.0-1.4k
+    events/sec vs 7.7k on any other core (2026-08-17, clean steal and
+    DRAM probes throughout — the noise is invisible to every gate, so the
+    only defense is not standing in front of it)."""
+    avail = max(HOST_CPUS - 1, 1)
+    stride = max(avail // cores, 1)
+    return {1 + ((base + i * stride) % avail) for i in range(cores)}
 
 
 def replay_only(args) -> None:
@@ -389,9 +397,50 @@ def replay_only(args) -> None:
     print(json.dumps(res))
 
 
+def _core_speed(cpu: int, n: int = 500_000) -> float:
+    """~20 ms pinned busy-loop, M iter/s — relative health of one vCPU."""
+    os.sched_setaffinity(0, {cpu})
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(n):
+        s += i
+    return n / (time.perf_counter() - t0) / 1e6
+
+
+def _pick_pin_base(n_lo: int, n_hi: int) -> int:
+    """Measure per-core health and choose the rotation base whose lo+hi pin
+    sets avoid degraded cores.
+
+    Measured 2026-08-17: one vCPU ran a pinned replay 5-7× slower than its
+    neighbors for tens of minutes with clean steal and clean DRAM probes —
+    blind base rotation parks whole 20-minute samples on such a core. A
+    ~0.7 s sweep of 20 ms pinned busy-loops before each round finds the
+    degraded cores; the base maximizing the slowest member of the union
+    pin set dodges them. Falls back to base 0 when affinity APIs are
+    unavailable."""
+    try:
+        saved = os.sched_getaffinity(0)
+    except (AttributeError, OSError):
+        return 0
+    try:
+        speeds = {c: _core_speed(c) for c in range(1, HOST_CPUS)}
+    finally:
+        os.sched_setaffinity(0, saved)
+    best_base, best_score = 0, -1.0
+    for b in range(HOST_CPUS - 1):
+        cpus = _pin_set(n_lo, b) | _pin_set(n_hi, b)
+        score = min(speeds.get(c, 0.0) for c in cpus)
+        if score > best_score:
+            best_base, best_score = b, score
+    return best_base
+
+
 def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
                         mode: str, dedup: str, fanout: bool,
-                        pin_base: int, probe_floor: float = 0.0) -> dict:
+                        pin_base: int, probe_floor: float = 0.0) -> dict | None:
+    """One pinned replay subprocess; None when it exceeds the poisoned-core
+    timeout (a healthy sample runs minutes; 5-7× slow means the pinned
+    core is degraded and the whole pair should be retried elsewhere)."""
     cmd = [
         sys.executable, os.path.abspath(__file__), "--replay-only",
         "--master", f"local[{cores}]", "--events", str(n_events),
@@ -400,7 +449,17 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
         "--probe-floor", str(probe_floor),
     ] + (["--fanout"] if fanout else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    # floor: warmup+drain+probes ~4 min, plus timed work at a pessimistic
+    # 3k events/sec/core with a 2x margin (healthy cores measure 6-10k)
+    timeout = int(os.environ.get(
+        "SPARK_GRAFT_SCALE_SAMPLE_TIMEOUT",
+        str(240 + (n_events * 2) // (3000 * cores)),
+    ))
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -440,11 +499,15 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
     pairs: list[dict] = []
 
     def _mark_clean() -> int:
-        probes = [p["probe_mbps_lo"] for p in pairs] + [
-            p["probe_mbps_hi"] for p in pairs
+        full = [p for p in pairs if not p.get("timeout")]
+        probes = [p["probe_mbps_lo"] for p in full] + [
+            p["probe_mbps_hi"] for p in full
         ]
         ref = max([p for p in probes if p] or [0.0])
         for p in pairs:
+            if p.get("timeout"):
+                p["clean"] = False
+                continue
             probe_ok = (
                 min(p["probe_mbps_lo"] or 0.0, p["probe_mbps_hi"] or 0.0)
                 >= PROBE_OK * ref
@@ -455,15 +518,26 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
     best_probe = 0.0
     for rnd in range(max_rounds):
         floor = PROBE_OK * best_probe
+        base = _pick_pin_base(n_lo, n_hi)
         lo = _one_scaling_sample(n_lo, n_events, n_docs, chunk, mode, dedup,
-                                 fanout, pin_base=rnd, probe_floor=floor)
-        hi = _one_scaling_sample(n_hi, n_events, n_docs, chunk, mode, dedup,
-                                 fanout, pin_base=rnd, probe_floor=floor)
+                                 fanout, pin_base=base, probe_floor=floor)
+        hi = None
+        if lo is not None:
+            hi = _one_scaling_sample(n_hi, n_events, n_docs, chunk, mode,
+                                     dedup, fanout, pin_base=base,
+                                     probe_floor=floor)
+        if lo is None or hi is None:
+            # poisoned-core / degraded-window sample exceeded its timeout;
+            # record the miss and re-probe for a better pin next round
+            pairs.append({"round": rnd, "pin_base": base, "timeout": True,
+                          "clean": False})
+            continue
         best_probe = max(best_probe, lo.get("probe_mbps") or 0.0,
                          hi.get("probe_mbps") or 0.0)
         eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
         pairs.append({
             "round": rnd,
+            "pin_base": base,
             "events_per_sec_lo": lo["events_per_sec"],
             "events_per_sec_hi": hi["events_per_sec"],
             "efficiency": round(eff, 3),
@@ -477,7 +551,14 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         if _mark_clean() >= want_pairs:
             break
     _mark_clean()
-    use = [p for p in pairs if p["clean"]] or pairs
+    full = [p for p in pairs if not p.get("timeout")]
+    use = [p for p in pairs if p["clean"]] or full
+    if not use:
+        return {
+            "cores_lo": n_lo, "cores_hi": n_hi, "events": n_events,
+            "mode": mode, "dedup": dedup, "error": "all samples timed out",
+            "pairs": pairs,
+        }
     return {
         "cores_lo": n_lo,
         "cores_hi": n_hi,
