@@ -334,10 +334,29 @@ class LakeTable:
         late arrival of a brand-new key) is visible through MOR commits but
         not through COW rewrites of that interval. The replay pipeline
         assigns monotone seqs per commit, where the distinction never
-        arises."""
+        arises.
+
+        A ``purge_tombstones`` commit inside the interval physically
+        removes delete rows, so the scan could silently drop those delete
+        events from the changelog; that is detected from snapshot
+        summaries and raised — read the changelog before purging, or purge
+        only below the consumers' watermark (``before_seq`` ≤ every
+        consumer's ``from`` ceiling)."""
         to_snap = self.snapshot() if to_sid is None else self.snapshot_at(to_sid)
         from_snap = self.snapshot_at(from_sid)
         floor = from_snap.get("seq_ceiling", -1)
+        for s in self.history():
+            if not (from_sid < s["snapshot_id"] <= to_snap["snapshot_id"]):
+                continue
+            summ = s.get("summary") or {}
+            if (summ.get("operation") == "purge_tombstones"
+                    and int(summ.get("before_seq", -1)) > floor + 1):
+                raise ValueError(
+                    f"changes({from_sid}, {to_snap['snapshot_id']}) is lossy: "
+                    f"purge_tombstones(before_seq={summ['before_seq']}) at "
+                    f"snapshot {s['snapshot_id']} removed tombstones inside "
+                    "the interval; purge only below consumers' watermarks"
+                )
         key = to_snap["table"]["key"]
         cur_phys = _phys(self.current_schema(to_snap))
 
@@ -736,9 +755,20 @@ class LakeTable:
         new["parent_id"] = snap["snapshot_id"]
         new["schemas"] = dict(snap["schemas"], **{str(new_schema_id): new_schema.json()})
         if field_ids is not None:
-            new["field_ids"] = dict(
-                snap.get("field_ids") or {}, **{str(new_schema_id): field_ids}
-            )
+            fids = dict(snap.get("field_ids") or {})
+            # Backfill positional ids for every pre-feature schema id still
+            # referenced by the snapshot: before field_ids existed only
+            # add_column/widen_column could evolve a schema, so a name's
+            # position is stable across all legacy schemas and positional
+            # ids are exact. Without this, _remap sees `old is None` for
+            # legacy file groups, returns identity, and a rename would read
+            # their data back as NULL (_align drops the old-named physical
+            # column and null-fills the new name).
+            for sid_key, schema_json in snap["schemas"].items():
+                if sid_key not in fids:
+                    legacy = T.StructType.fromJson(json.loads(schema_json))
+                    fids[sid_key] = {f.name: i for i, f in enumerate(legacy.fields)}
+            new["field_ids"] = dict(fids, **{str(new_schema_id): field_ids})
         new["current_schema_id"] = new_schema_id
         new["summary"] = {"operation": op}
         new["committed_at"] = time.time()

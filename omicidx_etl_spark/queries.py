@@ -767,9 +767,14 @@ def f10_content_hash(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H-Q3-style: selective dim filter → broadcast semi → fact join →
-    grouped sum → top-k. The customer filter is broadcast so the lineitem
-    scan never shuffles for it."""
+    """TPC-H-Q3-style: selective dim filter → fact join → grouped sum →
+    top-k. No broadcast hint on the filtered customer: 'BUILDING' keeps
+    ~1/5 of customers (~6M rows at SF100), which is NOT provably bounded —
+    a forced hint there overrides AQE's runtime size knowledge and OOMs at
+    scale. AQE still picks a broadcast when the build side measures small
+    (it does at test SFs); at 100× it degrades gracefully to a shuffle
+    join instead of failing. Plan guard: tests/test_plans.py asserts no
+    fact-sized relation under BroadcastExchange here."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
@@ -779,7 +784,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     rev = _e4(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("revenue_e4"))
@@ -809,8 +814,13 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H-Q5-style 6-way star join: all dims broadcast; one fact shuffle
-    for the final groupBy only."""
+    """TPC-H-Q5-style 6-way star join. Broadcast hints ONLY on the
+    genuinely bounded dims (supplier / nation / region — supplier is
+    SF×10k rows of two ints, ~MBs even at SF100); `orders` and `customer`
+    are fact-sized (150M / 15M rows at SF100), so they carry no hint and
+    the fact-fact joins shuffle on their keys, with AQE free to broadcast
+    at small SFs where they measure tiny. Plan guard in
+    tests/test_plans.py."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
@@ -819,8 +829,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
     rev = _e4(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
             F.broadcast(s),
             (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),

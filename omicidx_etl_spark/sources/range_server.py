@@ -29,7 +29,7 @@ import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-_RANGE_RE = re.compile(r"^bytes=(\d+)-(\d*)$")
+_RANGE_RE = re.compile(r"^bytes=(\d*)-(\d*)$")
 
 _CORS = {
     "Access-Control-Allow-Origin": "*",
@@ -40,12 +40,22 @@ _CORS = {
 
 
 def parse_range(header: str, total_size: int) -> tuple[int, int] | None:
-    """``bytes=a-b`` / ``bytes=a-`` → (offset, length), or None if the
-    header is unparseable (mirrors ``worker/src/index.ts:20-29``: an
-    invalid Range degrades to a full 200 response, not an error)."""
+    """``bytes=a-b`` / ``bytes=a-`` / suffix ``bytes=-N`` → (offset,
+    length), or None if the header is unparseable (an invalid Range
+    degrades to a full 200 response, not an error — the degrade path
+    mirrors ``worker/src/index.ts:20-29``; suffix ranges, which parquet
+    footer readers issue, are a superset of the reference's contract)."""
     m = _RANGE_RE.match(header)
     if not m:
         return None
+    if not m.group(1):
+        if not m.group(2):
+            return None
+        n = int(m.group(2))  # bytes=-N: the last N bytes
+        if n <= 0:
+            return None
+        start = max(total_size - n, 0)
+        return start, total_size - start
     start = int(m.group(1))
     end = int(m.group(2)) if m.group(2) else total_size - 1
     if start >= total_size or end < start:
@@ -137,6 +147,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_headers_common({})
             self.end_headers()
             return
+        # A bare directory path ('/sub') must still produce '/sub/<name>'
+        # hrefs, not '/sub<name>'.
+        if key and not key.endswith("/"):
+            key += "/"
         entries = sorted(os.listdir(path))
         lines = ["<html><body><ul>"]
         for name in entries:

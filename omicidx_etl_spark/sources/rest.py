@@ -145,6 +145,17 @@ def land_cursor_feed(
         if len(buf) >= records_per_part:
             flush()
     flush()
+    if n_parts == 0:
+        # An empty feed is a normal outcome for an incremental pull;
+        # spark.read.json over zero parts would raise 'Unable to infer
+        # schema' instead of returning an empty frame.
+        if schema is None:
+            raise ValueError(
+                "cursor feed returned no records and no schema was given — "
+                "pass schema= so an empty incremental pull yields an empty "
+                "DataFrame instead of a schema-inference failure"
+            )
+        return spark.createDataFrame([], schema)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

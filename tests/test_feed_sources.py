@@ -263,6 +263,10 @@ def test_range_server_bounded_and_suffix_ranges(served_dir):
     # open-ended range → to EOF (worker/src/index.ts:27 semantics)
     status, _, tail = _get(url + "table.parquet", {"Range": f"bytes={len(raw)-4}-"})
     assert status == 206 and tail == b"PAR1"  # parquet footer magic
+    # true suffix range (bytes=-N): what parquet footer readers issue
+    status, headers, tail = _get(url + "table.parquet", {"Range": "bytes=-4"})
+    assert status == 206 and tail == b"PAR1"
+    assert headers["Content-Range"] == f"bytes {len(raw)-4}-{len(raw)-1}/{len(raw)}"
 
 
 def test_range_server_invalid_range_degrades_to_full(served_dir):
@@ -285,6 +289,10 @@ def test_range_server_head_and_404_and_listing(served_dir):
     assert status == 200 and b"table.parquet" in body and b"sub/" in body
     status, _, body = _get(url + "sub/")
     assert status == 200 and b"x.csv" in body
+    # bare directory path (no trailing slash): hrefs must still carry the
+    # separator — '/sub/x.csv', never the broken '/subx.csv'
+    status, _, body = _get(url + "sub")
+    assert status == 200 and b'href="/sub/x.csv"' in body
 
 
 def test_stream_xml_feed_into_lake_exactly_once(spark, tmp_path):
@@ -370,3 +378,18 @@ def test_range_server_blocks_traversal(served_dir):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(url + "..%2f..%2fetc%2fpasswd")
     assert exc.value.code == 404
+
+
+def test_land_cursor_feed_empty_feed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    def empty(cursor):
+        return {"records": []}
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = S.land_cursor_feed(
+        spark, empty, staging_dir=str(tmp_path / "s1"), schema=schema, base_delay=0
+    )
+    assert df.count() == 0 and df.schema == schema
+    with pytest.raises(ValueError, match="schema"):
+        S.land_cursor_feed(spark, empty, staging_dir=str(tmp_path / "s2"), base_delay=0)

@@ -54,6 +54,27 @@ def test_small_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_no_forced_broadcast_of_fact_tables(spark):
+    """q3/q5 must not carry broadcast HINTS on fact-sized relations
+    (orders/customer/lineitem). At test SFs the size threshold may still
+    broadcast them — that's AQE/Catalyst doing its job and it degrades
+    correctly at 100× — but a forced hint overrides size knowledge and
+    OOMs at SF100 (orders = 150M rows). Disabling the size threshold
+    isolates the hints: only genuinely bounded dims may remain broadcast."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q3 = _plan(spark, "q3_shipping_priority")
+        assert "BroadcastHashJoin" not in q3, "q3 forces a broadcast via hint"
+        q5 = _plan(spark, "q5_local_supplier_volume")
+        # exactly the supplier/nation/region hints survive; the
+        # lineitem-orders and orders-customer joins shuffle on their keys
+        assert q5.count("BroadcastHashJoin") == 3, q5
+        assert q5.count("SortMergeJoin") == 2, q5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_partial_aggregation(spark):
     """A3: grouped SUM must combine map-side (partial_sum before the
     exchange, final after) — this is also the skew defense for hot keys."""

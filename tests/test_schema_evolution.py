@@ -178,3 +178,35 @@ def test_rename_visible_in_time_travel_and_changes(spark, tmp_path):
     # changelog since then: new name, remapped values
     chg = t.changes(sid0).collect()
     assert len(chg) == 1 and chg[0]["label"] == "c"
+
+
+def _strip_field_ids(t):
+    """Simulate a pre-field-id ('legacy') table: rewrite every snapshot
+    json without the field_ids block, as tables created before the feature
+    carry none."""
+    import glob
+    import json as _json
+    import os
+
+    for p in glob.glob(os.path.join(t.root, "_meta", "snapshot-*.json")):
+        with open(p) as f:
+            snap = _json.load(f)
+        snap.pop("field_ids", None)
+        with open(p, "w") as f:
+            _json.dump(snap, f)
+    t.snapshot()  # drop the cached copy
+
+
+def test_rename_on_legacy_table_backfills_field_ids(spark, tmp_path):
+    """A rename on a table whose snapshots predate field_ids must backfill
+    positional ids for every historical schema id (names were positionally
+    stable pre-feature) so old files re-map instead of reading back NULL."""
+    t = _mk(spark, tmp_path, [("d1", 1, "a"), ("d2", 2, "b")])
+    t.add_column("q", T.DoubleType())  # a second legacy schema generation
+    _strip_field_ids(t)
+    t.rename_column("tag", "label")
+    rows = {r["doc_id"]: r["label"] for r in t.read().collect()}
+    assert rows == {"d1": "a", "d2": "b"}  # not {None, None}
+    # the backfill covers every schema id referenced by the snapshot
+    fids = t.snapshot()["field_ids"]
+    assert set(fids) == set(t.snapshot()["schemas"])

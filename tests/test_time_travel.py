@@ -160,3 +160,16 @@ def test_seq_ceiling_tracked_across_commit_kinds(spark, table):
     assert table.snapshot()["seq_ceiling"] == 17
     table.compact()
     assert table.snapshot()["seq_ceiling"] == 17  # maintenance doesn't move it
+
+
+def test_changes_detects_lossy_purge_inside_interval(spark, table):
+    sid0 = table.snapshot()["snapshot_id"]
+    table.merge(dedup_latest(_changes_df(spark, [(10, "D", "doc-000005", None, None, None)])))
+    table.purge_tombstones(before_seq=11)  # removes the delete physically
+    with pytest.raises(ValueError, match="lossy"):
+        table.changes(sid0)
+    # a purge below the consumer's watermark is harmless and must not raise
+    sid1 = table.snapshot()["snapshot_id"]
+    table.merge(dedup_latest(_changes_df(spark, [(12, "U", "doc-000006", [1], 1, "s")])))
+    table.purge_tombstones(before_seq=0)
+    assert table.changes(sid1).count() == 1
