@@ -243,21 +243,38 @@ def _wait_writeback_drain(max_mb: int = 256, timeout_s: int = 180) -> bool:
     return False
 
 
-def _dram_probe_mbps(mb: int = 256, reps: int = 3) -> float:
+_PROBE_BUFS = None
+_FAULT_MBPS: float | None = None
+
+
+def _dram_probe_mbps(mb: int = 128, reps: int = 3) -> float:
     """Single-thread DRAM-bandwidth probe (large memcpy), best of ``reps``.
 
     The steal counter only sees CPU the hypervisor takes; neighbors
     saturating the shared memory bus are invisible to it yet cut this
     replay's throughput up to ~3× (the workload is bandwidth-bound: ~4 KB
-    token arrays). A ~50 ms memcpy measured from inside the pinned
+    token arrays). A ~25 ms memcpy measured from inside the pinned
     subprocess, immediately before and after the timed run, reads the
     ambient bandwidth directly — samples taken in a contended window are
-    rejected no matter what the steal counter says."""
+    rejected no matter what the steal counter says.
+
+    The buffers are allocated ONCE per process and reused: in bad windows
+    this host supplies *fresh* pages at 6-12 MB/s (measured 2026-08-17 —
+    hypervisor-side page supply; steal and memcpy probes both read clean),
+    so a fresh 2×mb allocation per call cost ~90 s while the copy itself
+    ran at GB/s. The first allocation's page-supply rate is kept in
+    ``_FAULT_MBPS`` as a window-health diagnostic."""
+    global _PROBE_BUFS, _FAULT_MBPS
     import numpy as np
 
     n = mb * 1024 * 1024 // 8
-    a = np.ones(n, dtype=np.float64)
-    b = np.empty_like(a)
+    if _PROBE_BUFS is None or len(_PROBE_BUFS[0]) != n:
+        t0 = time.perf_counter()
+        a = np.ones(n, dtype=np.float64)
+        b = np.ones(n, dtype=np.float64)  # fault BOTH up front
+        _FAULT_MBPS = round(2 * mb / (time.perf_counter() - t0), 1)
+        _PROBE_BUFS = (a, b)
+    a, b = _PROBE_BUFS
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -375,16 +392,55 @@ def _disk_probe_mbps(path: str = "/tmp", mb: int = 16) -> float:
             pass
 
 
-def _spark(master: str, cores: int):
+def _spark(master: str, cores: int, cap_jvm_cpus: bool = False):
     from omicidx_etl_spark.session import get_spark
 
-    return get_spark(
-        "bench",
-        master=master,
-        shuffle_partitions=cores,
+    conf = {
         # shuffle/spill scratch on tmpfs with the rest of the bench I/O
-        extra_conf={"spark.local.dir": os.path.join(SCRATCH, "spark_local")},
-    )
+        "spark.local.dir": os.path.join(SCRATCH, "spark_local"),
+    }
+    if cap_jvm_cpus:
+        # Emulated N-core node: the JVM must size GC/JIT/common pools for N
+        # cpus even though it LAUNCHES unpinned (startup + warmup run wide;
+        # only the timed run is pinned — see replay_only).
+        conf["spark.driver.extraJavaOptions"] = (
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}"
+        )
+    return get_spark("bench", master=master, shuffle_partitions=cores,
+                     extra_conf=conf)
+
+
+def _descendant_pids(pid: int) -> list[int]:
+    out, stack = [], [pid]
+    while stack:
+        p = stack.pop()
+        tdir = f"/proc/{p}/task"
+        try:
+            tasks = os.listdir(tdir)
+        except OSError:
+            continue
+        for t in tasks:
+            try:
+                with open(f"{tdir}/{t}/children") as f:
+                    kids = [int(k) for k in f.read().split()]
+            except (OSError, ValueError):
+                kids = []
+            out.extend(kids)
+            stack.extend(kids)
+    return out
+
+
+def _pin_tree(cpus: set[int]) -> None:
+    """Pin this process AND every thread of every descendant (JVM, pyspark
+    worker daemons) to ``cpus``. sched_setaffinity(pid) moves only one
+    thread; ``taskset -a -p`` walks all of a pid's threads."""
+    os.sched_setaffinity(0, cpus)
+    mask = ",".join(str(c) for c in sorted(cpus))
+    for pid in _descendant_pids(os.getpid()):
+        subprocess.run(
+            ["taskset", "-a", "-p", "-c", mask, str(pid)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
 
 
 def _pin_set(cores: int, base: int = 0) -> set[int]:
@@ -407,13 +463,25 @@ def _pin_set(cores: int, base: int = 0) -> set[int]:
 
 def replay_only(args) -> None:
     cores = int(args.master.split("[")[1].rstrip("]"))
-    if args.pin:
-        # Emulate a true N-core cluster node: restrict this process (and the
-        # child JVM) to N CPUs so GC/IO threads can't leak extra parallelism
-        # into the small-cluster measurement.
-        os.sched_setaffinity(0, _pin_set(cores, args.pin_base))
-    spark = _spark(args.master, cores)
+    # Emulating an N-core cluster node only requires the TIMED run to be
+    # restricted to N cpus. Startup, warmup and gate waits run UNPINNED on
+    # purpose: a 1-core-pinned JVM start + warmup measured ~220 s of
+    # overhead per sample (vs ~40 s wide), which blew sample timeouts and
+    # starved the study. The JVM still sizes its pools for N cpus
+    # (ActiveProcessorCount) so post-pin behavior matches a true N-core
+    # node; _pin_tree then clamps every thread before timing starts.
+    t_phase = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal t_phase
+        now = time.time()
+        sys.stderr.write(f"[replay-only] {name}: {now - t_phase:.1f}s\n")
+        t_phase = now
+
+    spark = _spark(args.master, cores, cap_jvm_cpus=args.pin)
+    _mark("spark-start")
     log_path = ensure_change_log(spark, args.events, args.docs, args.seed, args.files)
+    _mark("log-ready")
     workdir = os.path.join(CACHE, f"replay_{cores}")
     # Untimed warmup: replay one batch into a scratch table so JIT/codegen,
     # zstd codecs and parquet reader/writer paths are compiled before the
@@ -424,10 +492,20 @@ def replay_only(args) -> None:
     run_replay(spark, log_path, warm_chunk, warm_chunk, args.mode,
                args.buckets, os.path.join(workdir, "warm"), dedup=args.dedup,
                fanout=args.fanout, retries=1, max_batches=1)
+    _mark("warmup")
+    # Pre-fault the probe buffers while still unpinned: page supply can run
+    # at ~6-12 MB/s in bad windows, and that cost must land here, not
+    # inside the pinned pre/post probes.
+    _dram_probe_mbps()
+    _mark("probe-prefault")
     # Writeback from the warmup (and anything before this subprocess) must
     # drain before timing starts — the kernel throttles new writers while
     # flushing, invisibly to both steal jiffies and the DRAM probe.
     _wait_writeback_drain(timeout_s=args.drain_timeout)
+    _mark("drain")
+    if args.pin:
+        _pin_tree(_pin_set(cores, args.pin_base))
+        _mark("pin")
     # DRAM probes bracket the timed run: ambient-bandwidth evidence for the
     # parent's pair-cleanliness gate (steal jiffies can't see bus neighbors).
     # With --probe-floor the subprocess also WAITS (<=--probe-wait s) for a
@@ -438,14 +516,20 @@ def replay_only(args) -> None:
         while probe_pre < args.probe_floor and time.time() < deadline:
             time.sleep(5)
             probe_pre = _dram_probe_mbps()
+    _mark("probes")
     # single attempt here: the parent scaling loop handles retries
     res = run_replay(spark, log_path, args.events, args.chunk, args.mode,
                      args.buckets, workdir, dedup=args.dedup,
                      fanout=args.fanout, retries=1)
+    _mark("timed-replay")
     res["probe_mbps"] = round(min(probe_pre, _dram_probe_mbps()), 1)
+    res["fault_mbps"] = _FAULT_MBPS  # page-supply rate seen at first alloc
     res["disk_mbps"] = _disk_probe_mbps()
-    spark.stop()
+    _mark("post-probes")
     print(json.dumps(res))
+    sys.stdout.flush()
+    spark.stop()
+    _mark("spark-stop")
 
 
 def _core_speed(cpu: int, n: int = 500_000) -> float:
@@ -516,11 +600,22 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
         "--drain-timeout", str(drain_t), "--probe-wait", str(probe_w),
     ] + (["--fanout"] if fanout else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    # Bounded heap for the sample JVM: in bad windows the host supplies
+    # fresh pages at ~6-12 MB/s, so every GB the JVM grows into is minutes
+    # of invisible stall — a 250k-event replay fits comfortably in 8g.
+    env.setdefault("SPARK_DRIVER_MEM", "8g")
     timeout = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLE_TIMEOUT", timeout))
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                            timeout=timeout)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stdout or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        sys.stderr.write(
+            f"[scaling] {cores}-core sample timed out after {timeout}s; "
+            f"stdout tail: {tail[-400:]}\n"
+        )
         return None
     try:
         line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]

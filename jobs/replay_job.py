@@ -45,6 +45,10 @@ def main() -> None:
                    help="streaming+mor: auto-compact when any bucket's delta "
                         "chain exceeds this depth")
     p.add_argument("--app-id", default="replay")
+    p.add_argument("--checksums", action="store_true",
+                   help="record (path, bytes, md5) per written data file in "
+                        "each commit's lineage row (distributed re-read of "
+                        "the commit's files)")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--gen-events", type=int, default=None)
@@ -82,7 +86,7 @@ def main() -> None:
             spark, args.table, schema, key="doc_id", n_buckets=args.buckets
         )
 
-    lineage = LineageLog(args.table)
+    lineage = LineageLog(args.table, checksums=args.checksums)
     t0 = time.time()
     if args.streaming:
         from omicidx_etl_spark.streaming import stream_replay

@@ -168,6 +168,7 @@ def replay_batch(
             batch_id=batch_id,
             snapshot=snap,
             duration_s=time.time() - t0,
+            spark=table.spark,
         )
     return snap
 

@@ -228,3 +228,65 @@ def pairwise_topk_per_label(
         .filter(F.col("cos_sim") >= threshold)
         .select("g", "id_a", "id_b", "cos_sim")
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    dims: int,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout AT REST: quantize each vector to its
+    cell, then write hive-partitioned by ``cell`` (one directory per
+    cell). This is the partition-pruning design the reference applies to
+    its extract layout (``omicidx_etl/geo/extract.py:82-95``) aimed at the
+    ANN family: a probe then does I/O only under its nprobe cell
+    directories — the other ~(1 - nprobe/n_centroids) of the table is
+    never listed, opened, or decoded.
+
+    One shuffle (repartition by cell) so each cell's files are written by
+    tasks owning whole cells — without it every write task would emit a
+    tiny file into every cell directory (n_tasks × n_centroids files)."""
+    celled = ivf_cells(df, dims, n_centroids, vec_col)
+    (
+        celled.repartition(n_centroids, F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def read_ivf_cells(spark, path: str, cells: list[int]) -> DataFrame:
+    """Read ONLY the given cells' directories from an IVF index written by
+    :func:`write_ivf_index`. Pruning is constructional — Spark is handed
+    just the probed ``cell=N`` paths (plus ``basePath`` so ``cell`` stays
+    a column), exactly like the lake's bucket point lookup
+    (``lake/table.py`` ``lookup``): non-probed files cannot be scanned
+    because they are never part of the plan."""
+    import os
+
+    paths = [os.path.join(path, f"cell={c}") for c in cells]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:  # every probed cell is empty: zero rows, full schema
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*paths)
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    dims: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ANN over the at-rest IVF index: identical math and results to
+    :func:`ann_ivf_topk`, but the non-probed cells cost zero I/O."""
+    probe = query_probe_cells(query_vec, dims, n_centroids, nprobe)
+    return cosine_topk(
+        read_ivf_cells(spark, path, probe), query_vec, id_col, vec_col, k
+    )

@@ -38,14 +38,59 @@ LINEAGE_SCHEMA = pa.schema(
         ("events_per_s", pa.float64()),
         ("committed_at", pa.timestamp("us", tz="UTC")),
         ("summary_json", pa.string()),
+        ("files_json", pa.string()),
     ]
 )
 
 
 class LineageLog:
-    def __init__(self, root: str):
+    """``checksums=True`` additionally records (path, bytes, md5) for every
+    data file the commit wrote (``files_json`` column) — the reference's
+    per-asset ``AssetMetadata.checksum`` audit field
+    (``omicidx_etl/biosample/asset_metadata.py:31-34``). The hashes are
+    computed as a *distributed* Spark job over just the commit's new data
+    dir (cost O(batch bytes), spread across executors — never a
+    driver-side re-read), so it stays viable at cluster scale; still, it
+    re-reads what was just written, so it is opt-in."""
+
+    def __init__(self, root: str, checksums: bool = False):
+        self.root = root
         self.dir = os.path.join(root, "_lineage")
+        self.checksums = checksums
         os.makedirs(self.dir, exist_ok=True)
+
+    def _file_checksums(self, spark: SparkSession, sid: int) -> list[dict]:
+        ddir = os.path.join(self.root, "data", f"snap-{sid:09d}")
+        if not os.path.isdir(ddir):
+            return []
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(ddir)
+            .select(
+                "path",
+                F.col("length").alias("bytes"),
+                F.md5(F.col("content")).alias("md5"),
+            )
+            .collect()
+        )
+        out = []
+        for r in rows:
+            p = r["path"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+            out.append(
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "bytes": r["bytes"],
+                    "md5": r["md5"],
+                }
+            )
+        return sorted(out, key=lambda e: e["path"])
 
     def record(
         self,
@@ -53,6 +98,7 @@ class LineageLog:
         batch_id: int,
         snapshot: dict[str, Any],
         duration_s: float,
+        spark: SparkSession | None = None,
     ) -> None:
         s = snapshot.get("summary", {})
         ev = s.get("event_count")
@@ -73,11 +119,22 @@ class LineageLog:
             "events_per_s": (ev / duration_s) if ev and duration_s > 0 else None,
             "committed_at": int(time.time() * 1e6),
             "summary_json": json.dumps(s),
+            "files_json": None,
         }
+        sid = snapshot.get("snapshot_id")
+        if (
+            self.checksums
+            and spark is not None
+            and sid is not None
+            and not row["skipped"]
+        ):
+            row["files_json"] = json.dumps(self._file_checksums(spark, sid))
         table = pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
         pq.write_table(
             table, os.path.join(self.dir, f"commit-{uuid.uuid4().hex}.parquet")
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.dir)
+        # mergeSchema: rows written before the files_json column existed
+        # must still union with new ones
+        return spark.read.option("mergeSchema", "true").parquet(self.dir)

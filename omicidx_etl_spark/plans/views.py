@@ -134,3 +134,91 @@ def census(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
     names = names if names is not None else sorted(VIEW_SQL)
     rows = [(n, spark.table(n).count()) for n in names]
     return spark.createDataFrame(rows, "table_name string, row_count long")
+
+
+def export_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    views: list[str] | None = None,
+) -> dict:
+    """Materialize the view layer into one versioned, shippable artifact —
+    the reference's ``build-db`` + metadata JSON + upload step
+    (``omicidx_etl/build_db.py:77-144``): views as parquet directories, the
+    census as a parquet table, and a ``metadata.json`` stamp (version,
+    build time, per-view row counts).
+
+    Each view materializes as a fully distributed parquet write; row
+    counts are then read back from the written files (a parquet
+    metadata-only count — no second pass over the data). Publication is
+    atomic: everything stages under a temp dir, one ``os.rename`` makes
+    the version visible, and the ``_LATEST`` pointer swaps last — a
+    consumer never sees a half-built artifact (same commit discipline as
+    the lake's pointer swap).
+
+    Returns the metadata dict (also written to ``metadata.json``).
+    """
+    import json
+    import os
+    import time
+    import uuid
+
+    names = build_views(spark, sf_dir)
+    if views is not None:
+        names = [n for n in names if n in set(views)]
+    os.makedirs(out_dir, exist_ok=True)
+    existing = [
+        int(d[1:]) for d in os.listdir(out_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    vname = f"v{version:05d}"
+    stage = os.path.join(out_dir, f".tmp-{vname}-{uuid.uuid4().hex}")
+
+    entries = []
+    for name in names:
+        path = os.path.join(stage, "views", name)
+        spark.table(name).write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()  # footer-stat count, no scan
+        entries.append({"name": name, "row_count": n, "path": f"views/{name}"})
+    spark.createDataFrame(
+        [(e["name"], e["row_count"]) for e in entries],
+        "table_name string, row_count long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "census"))
+    metadata = {
+        "version": version,
+        "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "source": sf_dir,
+        "views": entries,
+    }
+    with open(os.path.join(stage, "metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=2)
+    os.rename(stage, os.path.join(out_dir, vname))
+    tmp_ptr = os.path.join(out_dir, f"._latest-{uuid.uuid4().hex}")
+    with open(tmp_ptr, "w") as f:
+        f.write(vname)
+    os.replace(tmp_ptr, os.path.join(out_dir, "_LATEST"))
+    return metadata
+
+
+def read_artifact(
+    spark: SparkSession, out_dir: str, version: int | None = None
+) -> tuple[dict, dict[str, DataFrame]]:
+    """Open an exported artifact: (metadata, {view name -> DataFrame}).
+    Defaults to the ``_LATEST`` version."""
+    import json
+    import os
+
+    if version is None:
+        with open(os.path.join(out_dir, "_LATEST")) as f:
+            vname = f.read().strip()
+    else:
+        vname = f"v{version:05d}"
+    vdir = os.path.join(out_dir, vname)
+    with open(os.path.join(vdir, "metadata.json")) as f:
+        metadata = json.load(f)
+    frames = {
+        e["name"]: spark.read.parquet(os.path.join(vdir, e["path"]))
+        for e in metadata["views"]
+    }
+    return metadata, frames

@@ -1179,6 +1179,28 @@ def ann_ivf_topk(spark, sf_dir):
     return S.ann_ivf_topk(e, [1.0] * _DIMS, dims=_DIMS, n_centroids=8, nprobe=2)
 
 
+@register("ann_ivf_indexed", _ivf_sql(8, 2))
+def ann_ivf_indexed(spark, sf_dir):
+    """ANN over the AT-REST IVF index: embeddings persisted hive-partitioned
+    by cell (write once, probe many), and the probe plan includes only the
+    nprobe cells' directories — non-probed cells cost zero I/O, the
+    100-TB-serving path (vs ann_ivf_topk, which prunes compute-side during
+    the scan). Same math, identical results, same oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}|{_DIMS}|8".encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        S.write_ivf_index(
+            _t(spark, sf_dir, "embeddings"), idx, dims=_DIMS, n_centroids=8
+        )
+    return S.ann_ivf_topk_indexed(
+        spark, idx, [1.0] * _DIMS, dims=_DIMS, n_centroids=8, nprobe=2
+    )
+
+
 @register(
     "embedding_norms",
     f"""

@@ -165,7 +165,8 @@ def stream_replay(
             t0 = time.time()
             csnap = table.compact()
             if lineage is not None:
-                lineage.record(app_id, batch_id, csnap, time.time() - t0)
+                lineage.record(app_id, batch_id, csnap, time.time() - t0,
+                               spark=table.spark)
             committed.append(csnap)
 
     q = (

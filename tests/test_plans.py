@@ -186,3 +186,36 @@ def test_minhash_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_min" in plan
+
+
+def test_ivf_index_prunes_at_rest(spark, tmp_path):
+    """At-rest ANN pruning: with the index hive-partitioned by IVF cell,
+    a probe's plan contains ONLY the probed cells' files — non-probed
+    cell files exist on disk but are never part of the scan."""
+    import os
+
+    from omicidx_etl_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    dims = len(e.select("embedding").first()["embedding"])
+    idx = str(tmp_path / "ivf")
+    S.write_ivf_index(e, idx, dims=dims, n_centroids=8)
+    probe = S.query_probe_cells([1.0] * dims, dims, 8, 2)
+
+    files = S.read_ivf_cells(spark, idx, probe).inputFiles()
+    assert files
+    assert all(any(f"/cell={c}/" in f for c in probe) for f in files)
+    # pruning is meaningful: non-probed cells do hold data files on disk
+    others = [
+        d for d in os.listdir(idx)
+        if d.startswith("cell=") and int(d.split("=")[1]) not in probe
+    ]
+    assert others, "every vector landed in the probed cells — index degenerate"
+    # identical results to the compute-side variant over the raw table
+    got = S.ann_ivf_topk_indexed(
+        spark, idx, [1.0] * dims, dims=dims, n_centroids=8, nprobe=2
+    ).collect()
+    want = S.ann_ivf_topk(
+        e, [1.0] * dims, dims=dims, n_centroids=8, nprobe=2
+    ).collect()
+    assert got == want

@@ -52,3 +52,27 @@ def test_flatten_map_column(spark):
     # array<struct> schema, not map (the reference's columnar-friendly shape)
     f = dict(flat.dtypes)["chars"]
     assert f.startswith("array<struct")
+
+
+def test_export_artifact_roundtrip(spark, tmp_path):
+    """build-db analogue: materialized artifact + census + metadata must
+    read back and match a fresh census of the live view layer."""
+    out = str(tmp_path / "artifact")
+    meta = V.export_artifact(spark, SF_SMALL, out, views=[
+        "v_customer_staging", "v_events_daily", "v_order_part_bridge",
+    ])
+    assert meta["version"] == 1
+    live = {r.table_name: r.row_count for r in V.census(
+        spark, [e["name"] for e in meta["views"]]
+    ).collect()}
+    meta2, frames = V.read_artifact(spark, out)
+    assert meta2 == meta
+    for e in meta2["views"]:
+        assert frames[e["name"]].count() == e["row_count"] == live[e["name"]]
+    cen = spark.read.parquet(f"{out}/v00001/census")
+    assert {r.table_name: r.row_count for r in cen.collect()} == live
+    # a second export becomes v2 and _LATEST moves atomically
+    meta3 = V.export_artifact(spark, SF_SMALL, out, views=["v_events_daily"])
+    assert meta3["version"] == 2
+    assert V.read_artifact(spark, out)[0]["version"] == 2
+    assert V.read_artifact(spark, out, version=1)[0]["version"] == 1
