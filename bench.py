@@ -57,6 +57,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 #     if anything overruns anyway — the artifact is never empty again.
 # ---------------------------------------------------------------------------
 _T0 = time.time()
+# Default 20 min: round 1's driver run (2M-event scaling pair, ~15+ min
+# total) completed without an external kill, so the harness allows at least
+# that; the SIGTERM handler below still guarantees evidence if a future
+# harness budget is tighter.
 BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
 
 
@@ -94,6 +98,22 @@ def _arm_watchdog(grace: float = 20.0) -> None:
         os._exit(0)
 
     threading.Thread(target=_fire, daemon=True).start()
+    # Defense in depth against an EXTERNAL timeout shorter than our budget
+    # (round 2's rc-124 came from the harness's own `timeout`, which sends
+    # SIGTERM before SIGKILL): dump the partial JSON the instant we're told
+    # to die, so even a harness-killed run leaves parseable evidence.
+    import signal
+
+    def _on_term(signum, frame):
+        _RESULT.setdefault("killed_by_signal", signum)
+        _emit_result(budget_exhausted=True)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, _on_term)
+        except (ValueError, OSError):
+            pass  # non-main thread or unsupported signal
 
 
 def _scratch_dir() -> str:
@@ -216,6 +236,9 @@ STEAL_OK = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_OK", "0.02"))
 # of the best probe seen anywhere in the study (same single-thread probe in
 # every subprocess, so levels are directly comparable).
 PROBE_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_OK", "0.85"))
+# Minimum fresh-page supply rate (MB/s) for a scaling sample to count as
+# clean; healthy windows fault at GB/s, degraded ones at 5-15 MB/s.
+FAULT_OK = float(os.environ.get("SPARK_GRAFT_BENCH_FAULT_OK", "100"))
 
 
 def _wait_writeback_drain(max_mb: int = 256, timeout_s: int = 180) -> bool:
@@ -471,10 +494,12 @@ def replay_only(args) -> None:
     # (ActiveProcessorCount) so post-pin behavior matches a true N-core
     # node; _pin_tree then clamps every thread before timing starts.
     t_phase = time.time()
+    phases: dict[str, float] = {}
 
     def _mark(name: str) -> None:
         nonlocal t_phase
         now = time.time()
+        phases[name] = round(now - t_phase, 1)
         sys.stderr.write(f"[replay-only] {name}: {now - t_phase:.1f}s\n")
         t_phase = now
 
@@ -488,7 +513,12 @@ def replay_only(args) -> None:
     # timed run — a fresh JVM otherwise burns ~20-30 s of compile inside
     # the measurement, ~all of it serial, which distorts the small-core
     # sample most.
-    warm_chunk = min(args.chunk, 100_000)
+    # 30k events fully exercises every codegen/codec path (C2 tiers up in
+    # ~10k invocations) while faulting ~3x fewer fresh pages than 100k —
+    # in bad windows the host supplies pages at 5-15 MB/s and the warmup's
+    # working set, not JIT, is what the wall pays for (measured: 192 s
+    # warmup at 100k events with fault_mbps 5.4).
+    warm_chunk = min(args.chunk, 30_000)
     run_replay(spark, log_path, warm_chunk, warm_chunk, args.mode,
                args.buckets, os.path.join(workdir, "warm"), dedup=args.dedup,
                fanout=args.fanout, retries=1, max_batches=1)
@@ -525,6 +555,7 @@ def replay_only(args) -> None:
     res["probe_mbps"] = round(min(probe_pre, _dram_probe_mbps()), 1)
     res["fault_mbps"] = _FAULT_MBPS  # page-supply rate seen at first alloc
     res["disk_mbps"] = _disk_probe_mbps()
+    res["phases"] = phases  # where the wall went (post-mortem for timeouts)
     _mark("post-probes")
     print(json.dumps(res))
     sys.stdout.flush()
@@ -609,12 +640,14 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
         r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                            timeout=timeout)
     except subprocess.TimeoutExpired as e:
-        tail = (e.stdout or b"")
-        if isinstance(tail, bytes):
-            tail = tail.decode(errors="replace")
+        err = (e.stderr or b"")
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        # the subprocess's phase marks say where the wall actually went
+        marks = [l for l in err.splitlines() if l.startswith("[replay-only]")]
         sys.stderr.write(
             f"[scaling] {cores}-core sample timed out after {timeout}s; "
-            f"stdout tail: {tail[-400:]}\n"
+            f"phases: {'; '.join(marks) or '(none)'}\n"
         )
         return None
     try:
@@ -675,19 +708,37 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                 min(p["probe_mbps_lo"] or 0.0, p["probe_mbps_hi"] or 0.0)
                 >= PROBE_OK * ref
             )
-            p["clean"] = p["steal_ok"] and probe_ok
+            # Page-supply gate: in bad windows the host hands out fresh
+            # pages at 5-15 MB/s (healthy: GB/s) while memcpy probes AND
+            # steal both read clean — a sample whose JVM faulted its
+            # working set at that rate timed the host, not the engine.
+            # Clearly bimodal, so a fixed floor works.
+            fault_ok = (
+                min(p.get("fault_mbps_lo") or 1e9, p.get("fault_mbps_hi") or 1e9)
+                >= FAULT_OK
+            )
+            p["clean"] = p["steal_ok"] and probe_ok and fault_ok
         return sum(p["clean"] for p in pairs)
 
     # Cheapest credible pair: timed+warmup work at an *expected* 4k
-    # events/s/core plus ~300 s of fixed startup/gates for both halves.
+    # events/s/core plus ~200 s of fixed startup/gates for both halves
+    # (2 x (JVM start ~10 + 30k-event warmup + probes + slack)).
     # Deliberately not worst-case — the per-sample timeout already bounds a
     # degraded sample, and a truncated attempt beats declining to try.
     def _pair_floor(n: int) -> int:
-        return (2 * n) // (4000 * n_lo) + (2 * n) // (4000 * n_hi) + 300
+        return (2 * n) // (4000 * n_lo) + (2 * n) // (4000 * n_hi) + 200
 
     pair_floor = _pair_floor(n_events)
     budget_stop = False
     best_probe = 0.0
+    # Ambient host health at study start: when the study returns few or no
+    # pairs, these say WHY (page-supply collapse and disk saturation are
+    # invisible to steal jiffies) without any sample having to complete.
+    ambient = {
+        "dram_mbps": _dram_probe_mbps(),
+        "fault_mbps": _FAULT_MBPS,
+        "disk_mbps": _disk_probe_mbps(),
+    }
     for rnd in range(max_rounds):
         remaining = (deadline - time.time()) if deadline else 1e9
         if (remaining < pair_floor and fallback_events
@@ -722,6 +773,13 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             # record the miss and re-probe for a better pin next round
             pairs.append({"round": rnd, "pin_base": base, "timeout": True,
                           "clean": False})
+            # A timeout means the window is slow (page supply, bus, or a
+            # degraded core) — drop straight to the smaller slice so the
+            # NEXT attempt's work term shrinks 2.5x instead of burning the
+            # remaining wall on a second full-size miss.
+            if fallback_events and n_events > fallback_events:
+                n_events = chunk = fallback_events
+                pair_floor = _pair_floor(n_events)
             continue
         best_probe = max(best_probe, lo.get("probe_mbps") or 0.0,
                          hi.get("probe_mbps") or 0.0)
@@ -737,6 +795,8 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                          and hi.get("steal_frac", 0.0) <= STEAL_OK),
             "steal_frac_lo": lo.get("steal_frac"),
             "steal_frac_hi": hi.get("steal_frac"),
+            "fault_mbps_lo": lo.get("fault_mbps"),
+            "fault_mbps_hi": hi.get("fault_mbps"),
             "probe_mbps_lo": lo.get("probe_mbps"),
             "probe_mbps_hi": hi.get("probe_mbps"),
         })
@@ -751,6 +811,7 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             "mode": mode, "dedup": dedup, "budget_stop": budget_stop,
             "error": "no completed pairs"
             + (" (wall budget exhausted)" if budget_stop else " (all timed out)"),
+            "ambient": ambient,
             "pairs": pairs,
         }
     return {
@@ -764,6 +825,7 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         "scaling_efficiency": round(_median([p["efficiency"] for p in use]), 3),
         "clean_pairs": len([p for p in pairs if p["clean"]]),
         "budget_stop": budget_stop,
+        "ambient": ambient,
         "pairs": pairs,
     }
 

@@ -63,10 +63,17 @@ def _schema(spark):
 
 @pytest.mark.parametrize("method", ["max_by", "window", "salted_window", "prefilter"])
 def test_replay_matches_oracle(spark, change_log, tmp_path, method):
+    # Multi-batch merge mechanics are method-independent (the same
+    # LakeTable.merge path; cross-batch semantics covered by the default
+    # method here plus resume/idempotency tests below), so only the default
+    # runs the full 4-batch replay — the other methods verify their dedup
+    # VALUES against the oracle in a single batch, saving ~3 merge commits
+    # each of suite wall.
+    chunk = 2000 if method == "max_by" else N_EVENTS
     table = LakeTable.create(
         spark, str(tmp_path / f"t_{method}"), _schema(spark), key="doc_id", n_buckets=8
     )
-    replay_log(spark, table, change_log, chunk_events=2000, dedup_method=method)
+    replay_log(spark, table, change_log, chunk_events=chunk, dedup_method=method)
     assert_state_equal(table, change_log)
 
 
