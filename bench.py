@@ -268,6 +268,65 @@ def _wait_writeback_drain(max_mb: int = 256, timeout_s: int = 180) -> bool:
 
 _PROBE_BUFS = None
 _FAULT_MBPS: float | None = None
+_FAULT_DIAG_MB = 32
+
+
+def _fault_probe_mbps() -> float:
+    """Fresh-page supply rate (MB/s), measured once per process with a small
+    throwaway allocation. In bad windows the hypervisor hands out fresh
+    pages at 5-15 MB/s (healthy: GB/s) while steal AND memcpy probes read
+    clean — this is the only probe that sees that failure mode. 32 MB keeps
+    the cost ~3 s even in a collapsed window (vs ~30 s when the full probe
+    buffers were the diagnostic)."""
+    global _FAULT_MBPS
+    if _FAULT_MBPS is None:
+        import numpy as np
+
+        t0 = time.perf_counter()
+        x = np.ones(_FAULT_DIAG_MB * 1024 * 1024 // 8, dtype=np.float64)
+        _FAULT_MBPS = round(_FAULT_DIAG_MB / (time.perf_counter() - t0), 1)
+        del x
+    return _FAULT_MBPS
+
+
+def _probe_arrays(n: int, mb: int):
+    """memcpy probe buffers: tmpfs-mmap-shared across sample subprocesses.
+
+    Every scaling sample is a fresh subprocess; anonymous buffers made each
+    sample pay the fresh-page cost (~30 s per sample in a page-supply
+    collapse — exactly the window where wall budget is scarcest). Backing
+    them with one shared file on tmpfs means only the FIRST process faults
+    the pages in; later samples mmap the same resident tmpfs pages and
+    start probing immediately. tmpfs pages ARE page-cache DRAM, so the
+    memcpy measures the same bus; falls back to anonymous arrays when the
+    scratch dir isn't tmpfs (a disk-backed mmap would measure writeback)."""
+    import numpy as np
+
+    if not SCRATCH.startswith("/dev/shm"):
+        return np.ones(n, dtype=np.float64), np.ones(n, dtype=np.float64), None
+    import mmap as _mmap
+
+    nbytes = n * 8
+    path = os.path.join(SCRATCH, f"probe_{mb}mb.buf")
+    ready = path + ".ready"
+    try:
+        os.makedirs(SCRATCH, exist_ok=True)
+        fresh = not (os.path.exists(ready)
+                     and os.path.exists(path)
+                     and os.path.getsize(path) == 2 * nbytes)
+        f = open(path, "w+b" if fresh else "r+b")
+        f.truncate(2 * nbytes)
+        m = _mmap.mmap(f.fileno(), 2 * nbytes, _mmap.MAP_SHARED)
+        a = np.frombuffer(m, dtype=np.float64, count=n)
+        b = np.frombuffer(m, dtype=np.float64, count=n, offset=nbytes)
+        if fresh:
+            a[:] = 1.0
+            b[:] = 1.0
+            with open(ready, "w") as rf:
+                rf.write("1")
+        return a, b, (f, m)
+    except (OSError, ValueError):
+        return np.ones(n, dtype=np.float64), np.ones(n, dtype=np.float64), None
 
 
 def _dram_probe_mbps(mb: int = 128, reps: int = 3) -> float:
@@ -281,23 +340,17 @@ def _dram_probe_mbps(mb: int = 128, reps: int = 3) -> float:
     ambient bandwidth directly — samples taken in a contended window are
     rejected no matter what the steal counter says.
 
-    The buffers are allocated ONCE per process and reused: in bad windows
-    this host supplies *fresh* pages at 6-12 MB/s (measured 2026-08-17 —
-    hypervisor-side page supply; steal and memcpy probes both read clean),
-    so a fresh 2×mb allocation per call cost ~90 s while the copy itself
-    ran at GB/s. The first allocation's page-supply rate is kept in
-    ``_FAULT_MBPS`` as a window-health diagnostic."""
-    global _PROBE_BUFS, _FAULT_MBPS
+    Buffers are created once per process and shared across processes via a
+    tmpfs mmap (see _probe_arrays); the fresh-page supply diagnostic is a
+    separate small allocation (_fault_probe_mbps)."""
+    global _PROBE_BUFS
     import numpy as np
 
+    _fault_probe_mbps()
     n = mb * 1024 * 1024 // 8
     if _PROBE_BUFS is None or len(_PROBE_BUFS[0]) != n:
-        t0 = time.perf_counter()
-        a = np.ones(n, dtype=np.float64)
-        b = np.ones(n, dtype=np.float64)  # fault BOTH up front
-        _FAULT_MBPS = round(2 * mb / (time.perf_counter() - t0), 1)
-        _PROBE_BUFS = (a, b)
-    a, b = _PROBE_BUFS
+        _PROBE_BUFS = _probe_arrays(n, mb)
+    a, b = _PROBE_BUFS[0], _PROBE_BUFS[1]
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -739,6 +792,13 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         "fault_mbps": _FAULT_MBPS,
         "disk_mbps": _disk_probe_mbps(),
     }
+    # Page-supply collapse visible BEFORE the first sample → start at the
+    # small slice immediately instead of burning ~400 s discovering it via
+    # a full-size timeout (r3 validation run paid exactly that).
+    if (fallback_events and n_events > fallback_events
+            and (ambient["fault_mbps"] or 1e9) < FAULT_OK):
+        n_events = chunk = fallback_events
+        pair_floor = _pair_floor(n_events)
     for rnd in range(max_rounds):
         remaining = (deadline - time.time()) if deadline else 1e9
         if (remaining < pair_floor and fallback_events
