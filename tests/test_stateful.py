@@ -42,8 +42,8 @@ def _run_stream(spark, log, ckpt, out_dir, max_files=None):
 
 def test_stateful_running_stats_match_batch(spark, tmp_path):
     log = str(tmp_path / "log")
-    ch = datagen.gen_changes(spark, 8000, 400, seed=17)
-    datagen.write_change_log(ch, log, files=8)
+    ch = datagen.gen_changes(spark, 5000, 300, seed=17)
+    datagen.write_change_log(ch, log, files=6)
 
     updates = _run_stream(
         spark, log, str(tmp_path / "ckpt"), str(tmp_path / "out"), max_files=2
@@ -74,8 +74,8 @@ def test_stateful_running_stats_match_batch(spark, tmp_path):
 def test_stateful_resumes_from_checkpoint(spark, tmp_path):
     log = str(tmp_path / "log")
     ckpt = str(tmp_path / "ckpt")
-    ch = datagen.gen_changes(spark, 4000, 200, seed=23)
-    datagen.write_change_log(ch, log, files=4)
+    ch = datagen.gen_changes(spark, 2000, 150, seed=23)
+    datagen.write_change_log(ch, log, files=3)
 
     # first query consumes everything; a restart from the same checkpoint
     # must find no new data AND keep (not reset) its state store
