@@ -1,3 +1,3 @@
-from omicidx_etl_spark.lake.table import LakeTable
+from omicidx_etl_spark.lake.table import CommitConflict, LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = ["CommitConflict", "LakeTable"]

@@ -36,12 +36,20 @@ swap-compatible API):
   superseded-batch cleanup (``omicidx_etl/sra/catalog.py:212-275``) done
   safely from the manifest instead of filesystem globs.
 
-Single-writer by design (the reference is a single daily cron writer too);
-multi-writer would need a lock service or a real catalog.
+**Optimistic concurrency** (Iceberg commit protocol): writers stage data
+files without coordination, then validate-and-swap under a host-local
+commit lock (the single-node stand-in for a catalog CAS). Commits that
+commute are rebased automatically — merge-on-read delta appends commute
+with everything, bucket rewrites commute when disjoint — and anything else
+raises :class:`CommitConflict` for the caller to retry. A losing writer's
+staged files become unreferenced orphans, never a partially-visible commit.
+(The reference is a single daily cron writer with a marker-file race;
+see ``omicidx_etl/sra/catalog.py:309-320``.)
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -49,6 +57,11 @@ import time
 import uuid
 from collections.abc import Callable
 from typing import Any
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: commits fall back to last-writer-wins
+    fcntl = None
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +84,35 @@ _WIDEN_OK = {
 def bucket_expr(key_col: str, n_buckets: int):
     """The bucket transform. Must be identical everywhere (write + prune)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit landed between this operation's snapshot read and
+    its commit point, and the operation cannot be rebased automatically
+    (it rewrote buckets the other commit also changed, or it replaces
+    global state — schema evolution, overwrite, purge). Retry the whole
+    operation against the new current snapshot."""
+
+
+@contextlib.contextmanager
+def _commit_lock(meta_dir: str):
+    """Serialize the commit critical section (validate parent → write
+    snapshot → swap pointer) across processes and threads on this host via
+    ``flock``. This is the single-node stand-in for Iceberg's atomic
+    catalog swap (HMS lock / REST catalog CAS); on a multi-node deployment
+    the pointer lives in a catalog service and this lock is its CAS. Data
+    files are written OUTSIDE the lock — only O(metadata) work happens
+    under it, so writers contend for milliseconds per commit."""
+    if fcntl is None:
+        yield
+        return
+    fd = os.open(os.path.join(meta_dir, "commit.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 class LakeTable:
@@ -534,7 +576,27 @@ class LakeTable:
             }
             if extra_summary:
                 summary.update(extra_summary() if callable(extra_summary) else extra_summary)
-            return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
+
+            # Delta appends COMMUTE with any concurrent commit (other delta
+            # appends, compaction, COW rewrites of other batches): seq-based
+            # reconciliation is order-independent, so losing the snapshot
+            # race just replays the same entry additions on the winner's
+            # bucket map (Iceberg fast-append rebase).
+            written_schema_id = snap["current_schema_id"]
+
+            def rebase(cur: dict) -> dict[str, Any]:
+                out = {b: _norm_entry(e) for b, e in cur["buckets"].items()}
+                for b, d in rel.items():
+                    out[str(b)] = {
+                        "base": out[str(b)]["base"],
+                        "deltas": out[str(b)]["deltas"]
+                        + [{"dir": d, "schema_id": written_schema_id}],
+                    }
+                return out
+
+            return self._commit(
+                snap, new_sid, buckets, app_id, batch_id, summary, rebase=rebase
+            )
 
         if mode != "cow":
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -546,6 +608,10 @@ class LakeTable:
                 snap, snap["snapshot_id"] + 1, dict(snap["buckets"]),
                 app_id, batch_id,
                 summary={"operation": "merge", "touched_buckets": 0},
+                # nothing written: a rebase just adopts the winner's buckets
+                rebase=lambda cur: {
+                    b: _norm_entry(e) for b, e in cur["buckets"].items()
+                },
             )
 
         phys_cols = [f.name for f in cur.fields] + [SEQ_COL, DELETED_COL]
@@ -595,7 +661,10 @@ class LakeTable:
         }
         if extra_summary:
             summary.update(extra_summary() if callable(extra_summary) else extra_summary)
-        return self._commit(snap, new_sid, buckets, app_id, batch_id, summary)
+        return self._commit(
+            snap, new_sid, buckets, app_id, batch_id, summary,
+            rebase=_disjoint_rewrite_rebase(snap, touched, buckets, "cow merge"),
+        )
 
     def compact(
         self, buckets: list[int] | None = None, sort_by_key: bool = False
@@ -639,6 +708,7 @@ class LakeTable:
         return self._commit(
             snap, new_sid, out, None, None,
             summary={"operation": "compact", "buckets": len(todo)},
+            rebase=_disjoint_rewrite_rebase(snap, todo, out, "compact"),
         )
 
     def purge_tombstones(self, before_seq: int) -> dict[str, Any]:
@@ -772,7 +842,15 @@ class LakeTable:
         new["current_schema_id"] = new_schema_id
         new["summary"] = {"operation": op}
         new["committed_at"] = time.time()
-        self._write_snapshot(new)
+        with _commit_lock(self._meta_dir):
+            cur = self.snapshot()
+            if cur["snapshot_id"] != snap["snapshot_id"]:
+                raise CommitConflict(
+                    f"snapshot advanced {snap['snapshot_id']} -> "
+                    f"{cur['snapshot_id']} during {op!r}; schema evolution "
+                    "cannot be rebased — retry against the current snapshot"
+                )
+            self._write_snapshot(new)
 
     # -------------------------------------------------------------- retention
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
@@ -825,8 +903,15 @@ class LakeTable:
         writer: tasks write to every bucket they touch, trading file count
         for zero shuffle — right for high-rate delta appends, wrong for
         bases (compaction always uses shuffle=True). ``sort_by_key`` adds a
-        task-local key sort (tight row-group stats for point lookups)."""
-        stage_rel = os.path.join("data", f"snap-{sid:09d}")
+        task-local key sort (tight row-group stats for point lookups).
+
+        The dir carries a per-attempt suffix: concurrent writers both plan
+        the same next sid, and optimistic concurrency stages WITHOUT
+        coordination — same-named stage dirs would overwrite each other's
+        files before either commits. A losing attempt's dir is simply never
+        referenced (expire_snapshots reclaims orphans by reference, not by
+        name)."""
+        stage_rel = os.path.join("data", f"snap-{sid:09d}-{uuid.uuid4().hex[:8]}")
         stage = os.path.join(self.root, stage_rel)
         # One shuffle partition per bucket (not spark.sql.shuffle.partitions):
         # write tasks then align 1:1 with buckets, so task sizes are as even
@@ -859,31 +944,85 @@ class LakeTable:
         app_id: str | None,
         batch_id: int | None,
         summary: dict[str, Any],
+        rebase: "Callable[[dict], dict[str, Any]] | None" = None,
     ) -> dict[str, Any]:
-        txn = dict(parent["txn"])
-        if app_id is not None and batch_id is not None:
-            txn[app_id] = max(batch_id, txn.get(app_id, -1))
-        snap = {
-            "snapshot_id": new_sid,
-            "parent_id": parent["snapshot_id"],
-            "table": parent["table"],
-            "current_schema_id": parent["current_schema_id"],
-            "schemas": parent["schemas"],
-            "field_ids": parent.get("field_ids"),
-            "buckets": buckets,
-            "txn": txn,
-            "summary": dict(summary, skipped=False),
-            # monotone high-water mark of event seqs ever written; the
-            # changelog scan (``changes``) uses the *from* snapshot's
-            # ceiling to exclude rows that rewrites (compaction/COW)
-            # carried into newer data dirs.
-            "seq_ceiling": max(
-                parent.get("seq_ceiling", -1), int(summary.get("max_seq", -1))
-            ),
-            "committed_at": time.time(),
-        }
-        self._write_snapshot(snap)
+        """Optimistic-concurrency commit (Iceberg commit protocol): data
+        files are already staged; under the commit lock, validate that the
+        snapshot this operation planned against is still current. If a
+        concurrent commit won the race, either replay the metadata change
+        on top of the new current snapshot (``rebase`` — provided by
+        operations that commute, e.g. merge-on-read delta appends and
+        disjoint copy-on-write rewrites) or raise :class:`CommitConflict`.
+        A losing writer's staged files become unreferenced orphans exactly
+        as if it had crashed — never a partially-visible commit."""
+        with _commit_lock(self._meta_dir):
+            cur = self.snapshot()
+            if cur["snapshot_id"] != parent["snapshot_id"]:
+                if _already_committed(cur, app_id, batch_id):
+                    return _skipped(cur, app_id, batch_id)
+                if rebase is None:
+                    raise CommitConflict(
+                        f"snapshot advanced {parent['snapshot_id']} -> "
+                        f"{cur['snapshot_id']} during "
+                        f"{summary.get('operation')!r}; operation cannot be "
+                        "rebased — retry against the current snapshot"
+                    )
+                buckets = rebase(cur)
+                summary = dict(summary, rebased_from=parent["snapshot_id"])
+                parent = cur
+                new_sid = cur["snapshot_id"] + 1
+            txn = dict(parent["txn"])
+            if app_id is not None and batch_id is not None:
+                txn[app_id] = max(batch_id, txn.get(app_id, -1))
+            snap = {
+                "snapshot_id": new_sid,
+                "parent_id": parent["snapshot_id"],
+                "table": parent["table"],
+                "current_schema_id": parent["current_schema_id"],
+                "schemas": parent["schemas"],
+                "field_ids": parent.get("field_ids"),
+                "buckets": buckets,
+                "txn": txn,
+                "summary": dict(summary, skipped=False),
+                # monotone high-water mark of event seqs ever written; the
+                # changelog scan (``changes``) uses the *from* snapshot's
+                # ceiling to exclude rows that rewrites (compaction/COW)
+                # carried into newer data dirs.
+                "seq_ceiling": max(
+                    parent.get("seq_ceiling", -1), int(summary.get("max_seq", -1))
+                ),
+                "committed_at": time.time(),
+            }
+            self._write_snapshot(snap)
         return snap
+
+
+def _disjoint_rewrite_rebase(
+    parent: dict, rewritten: list[int], my_buckets: dict[str, Any], op: str
+) -> "Callable[[dict], dict[str, Any]]":
+    """Rebase for operations that REWROTE a set of buckets from the parent
+    state (copy-on-write merge, compaction). Safe iff no concurrent commit
+    touched the same buckets — the rewrite was computed from their parent
+    entries, so adopting it would silently drop the other commit's rows
+    (e.g. a delta file appended mid-rewrite). Disjoint buckets commute:
+    take the winner's entries for everything this operation didn't rewrite
+    (Iceberg RewriteFiles validation)."""
+    before = {str(b): _norm_entry(parent["buckets"][str(b)]) for b in rewritten}
+
+    def rebase(cur: dict) -> dict[str, Any]:
+        out = {b: _norm_entry(e) for b, e in cur["buckets"].items()}
+        for b in rewritten:
+            if out[str(b)] != before[str(b)]:
+                raise CommitConflict(
+                    f"bucket {b} changed concurrently during {op} "
+                    f"(snapshot {parent['snapshot_id']} -> "
+                    f"{cur['snapshot_id']}); rewrite cannot be rebased — "
+                    "retry against the current snapshot"
+                )
+            out[str(b)] = my_buckets[str(b)]
+        return out
+
+    return rebase
 
 
 def _norm_entry(entry: dict[str, Any] | None) -> dict[str, Any]:

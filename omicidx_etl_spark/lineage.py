@@ -59,16 +59,39 @@ class LineageLog:
         self.checksums = checksums
         os.makedirs(self.dir, exist_ok=True)
 
-    def _file_checksums(self, spark: SparkSession, sid: int) -> list[dict]:
-        ddir = os.path.join(self.root, "data", f"snap-{sid:09d}")
-        if not os.path.isdir(ddir):
+    @staticmethod
+    def _referenced_dirs(snap: dict[str, Any]) -> set:
+        from omicidx_etl_spark.lake.table import _norm_entry
+
+        dirs = set()
+        for e in (snap.get("buckets") or {}).values():
+            e = _norm_entry(e)
+            if e["base"]:
+                dirs.add(e["base"]["dir"])
+            for d in e["deltas"]:
+                dirs.add(d["dir"])
+        return dirs
+
+    def _file_checksums(self, spark: SparkSession, snap: dict[str, Any]) -> list[dict]:
+        """Data dirs NEW in this commit = referenced by the snapshot but not
+        by its parent (reference-based, not name-based: stage dir names
+        carry per-attempt suffixes and a rebased commit's planned sid)."""
+        new_dirs = self._referenced_dirs(snap)
+        pid = snap.get("parent_id")
+        ppath = os.path.join(self.root, "_meta", f"snapshot-{pid:09d}.json") if pid is not None else None
+        if ppath and os.path.exists(ppath):
+            with open(ppath) as f:
+                new_dirs -= self._referenced_dirs(json.load(f))
+        paths = [os.path.join(self.root, d) for d in sorted(new_dirs)]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
             return []
         from pyspark.sql import functions as F
 
         rows = (
             spark.read.format("binaryFile")
             .option("recursiveFileLookup", "true")
-            .load(ddir)
+            .load(paths)
             .select(
                 "path",
                 F.col("length").alias("bytes"),
@@ -128,7 +151,7 @@ class LineageLog:
             and sid is not None
             and not row["skipped"]
         ):
-            row["files_json"] = json.dumps(self._file_checksums(spark, sid))
+            row["files_json"] = json.dumps(self._file_checksums(spark, snapshot))
         table = pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
         pq.write_table(
             table, os.path.join(self.dir, f"commit-{uuid.uuid4().hex}.parquet")

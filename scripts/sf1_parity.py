@@ -1,123 +1,187 @@
-#!/usr/bin/env python
-"""One-off order-of-magnitude parity validation (VERDICT r02 stretch #8).
+"""One-order-of-magnitude-larger oracle-parity pass (VERDICT r02 #8).
 
-Synthesizes an sf1-equivalent dataset (10x sf0.1) by replicating each fact
-table 10 times with key offsets that preserve referential integrity —
-copy i of orders gets o_orderkey + i*OFF and o_custkey + i*OFF, matching
-copy i of customer, etc. Dims (region, nation) are shared. Then runs the
-ENTIRE oracle-paired registry (Spark vs DuckDB over the same parquet) with
-the exact compare the driver uses: sorted-by-all-columns frames, dtype
-check, value equality.
+Builds an sf1-shaped dataset (10x sf0.1) by deterministic replication of
+the driver's sf0.1 tables — key columns get per-copy offsets so referential
+integrity holds within each copy, text/embedding payloads get tiny
+deterministic perturbations so replication does not create cross-copy ties
+(ties are where engine-vs-oracle ordering could legitimately diverge) —
+then runs every queries()/oracle_sql() pair through the same compare()
+the driver-style gate uses, at the new scale.
 
-Purpose: the fixed-point float convention (CLAUDE.md oracle-parity note)
-and every aggregate/ordering tie-break get validated at 10x the driver's
-gate scale before anyone trusts them at 100x. Run manually:
+The driver's testdata is read-only and has no sf1; both engines read the
+SAME generated parquet, so parity is meaningful regardless of generator.
 
-    python scripts/sf1_parity.py [out_dir]
-
-Never run concurrently with bench.py (benchmark hygiene).
+Usage: python scripts/sf1_parity.py [--dir /dev/shm/spark_graft_sf1]
+Emits one JSON line {pass, fail, sec, failures:{name: msg}} and exits
+nonzero on any failure.
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 import time
 
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/root/testdata/sf0.1"
-OFF = 10_000_000_000  # key offset per copy; far above any sf0.1 key
-
-# table -> columns to offset per copy (PKs and the FKs that reference them)
-KEYED = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+COPIES = 10
+# clean power-of-ten offsets far above every sf0.1 key range
+OFF = {
+    "custkey": 10_000_000,
+    "orderkey": 100_000_000,
+    "partkey": 10_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 10_000_000,
 }
-SHARED = ["region", "nation"]  # dims: genuinely small at every SF
+
+# table -> select-list template; {k} is the copy index (0..COPIES-1).
+# Dims (region, nation, supplier) are NOT replicated — star-schema scale-up
+# grows facts, not dims, which is also what keeps broadcast plans honest.
+REPLICATED = {
+    "customer": """
+        SELECT c_custkey + {k}*{custkey} AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment FROM customer""",
+    "orders": """
+        SELECT o_orderkey + {k}*{orderkey} AS o_orderkey,
+               o_custkey + {k}*{custkey} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders""",
+    "lineitem": """
+        SELECT l_orderkey + {k}*{orderkey} AS l_orderkey,
+               l_partkey + {k}*{partkey} AS l_partkey,
+               l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM lineitem""",
+    "part": """
+        SELECT p_partkey + {k}*{partkey} AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice FROM part""",
+    "events": """
+        SELECT event_id + {k}*{event_id} AS event_id, ts,
+               user_id + {k}*{user_id} AS user_id,
+               event_type, value, props FROM events""",
+    # per-copy text suffix: replicated docs must not be exact/near dups of
+    # each other, or the dedup family's outputs become one giant tie-group
+    "documents": """
+        SELECT doc_id + {k}*{doc_id} AS doc_id,
+               CASE WHEN {k} = 0 THEN text
+                    ELSE text || ' rev' || {k} END AS text,
+               lang, source,
+               CASE WHEN {k} = 0 THEN n_chars
+                    ELSE n_chars + 4 + length(CAST({k} AS VARCHAR)) END AS n_chars
+        FROM documents""",
+    # per-copy constant add breaks cosine ties (cosine is scale-invariant,
+    # so a multiply would NOT); label offset keeps block sizes constant so
+    # the blocked self-joins scale by row count, not by block-size^2
+    "embeddings": """
+        SELECT vec_id + {k}*{vec_id} AS vec_id,
+               CAST(list_transform(embedding, x -> x + {k} * 0.0003)
+                    AS FLOAT[]) AS embedding,
+               label + {k} * 1000 AS label
+        FROM embeddings""",
+}
+DIMS = ["region", "nation", "supplier"]
 
 
-def build(out_dir: str, copies: int = 10) -> None:
-    import duckdb
-
+def build(out_dir: str) -> None:
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for t in SHARED:
+    for t in DIMS + list(REPLICATED):
         con.execute(
-            f"copy (select * from read_parquet('{SRC}/{t}.parquet')) "
-            f"to '{out_dir}/{t}.parquet' (format parquet)"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
         )
-    for t, keys in KEYED.items():
-        sel = []
-        cols = [
-            r[0]
-            for r in con.execute(
-                f"describe select * from read_parquet('{SRC}/{t}.parquet')"
-            ).fetchall()
-        ]
-        for c in cols:
-            if c in keys:
-                sel.append(f"{c} + i.i * {OFF} as {c}")
-            else:
-                sel.append(c)
+    for t in DIMS:
         con.execute(
-            f"copy (select {', '.join(sel)} "
-            f"from read_parquet('{SRC}/{t}.parquet'), "
-            f"(select unnest(range({copies})) as i) i) "
-            f"to '{out_dir}/{t}.parquet' (format parquet)"
+            f"COPY (SELECT * FROM {t}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
-        n = con.execute(
-            f"select count(*) from read_parquet('{out_dir}/{t}.parquet')"
-        ).fetchone()[0]
-        print(f"  {t}: {n} rows", flush=True)
+    for t, tpl in REPLICATED.items():
+        parts = " UNION ALL ".join(tpl.format(k=k, **OFF) for k in range(COPIES))
+        con.execute(
+            f"COPY ({parts}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("1")
 
 
-def run_parity(sf_dir: str) -> int:
-    import duckdb
-    import pandas as pd
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/dev/shm/spark_graft_sf1")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from omicidx_etl_spark.queries import oracle_sql, queries
+    t0 = time.time()
+    build(args.dir)
+    gen_sec = round(time.time() - t0, 1)
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from omicidx_etl_spark import queries as Q
+    from omicidx_etl_spark.plans.oracle import compare
     from omicidx_etl_spark.session import get_spark
 
-    QUERIES, ORACLE_SQL = queries(), oracle_sql()
-    spark = get_spark("sf1-parity")
-    con = duckdb.connect()
-    for t in SHARED + list(KEYED):
-        con.execute(
-            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+    def _session():
+        # Long network/heartbeat timeouts: this host freezes whole JVMs for
+        # minutes at a time (hypervisor page-supply stalls); the default
+        # 120 s heartbeat kill wedges the session mid-sweep.
+        return get_spark(
+            "sf1-parity", master="local[16]", shuffle_partitions=32,
+            extra_conf={
+                "spark.local.dir": os.path.join(args.dir, "_spark_local"),
+                "spark.network.timeout": "1200s",
+                "spark.executor.heartbeatInterval": "60s",
+            },
         )
-    failed = []
-    for name, fn in QUERIES.items():
-        if name not in ORACLE_SQL:
-            continue
-        t0 = time.time()
-        try:
-            got = fn(spark, sf_dir).toPandas()
-            want = con.execute(ORACLE_SQL[name]).df()
-            cols = sorted(got.columns)
-            got = got[cols].sort_values(cols).reset_index(drop=True)
-            want = want[cols].sort_values(cols).reset_index(drop=True)
-            assert list(map(str, got.dtypes)) == list(map(str, want.dtypes)), (
-                f"dtypes {list(got.dtypes)} vs {list(want.dtypes)}"
-            )
-            pd.testing.assert_frame_equal(got, want)
-            print(f"  OK   {name}: {len(got)} rows {time.time()-t0:.1f}s", flush=True)
-        except Exception as e:  # noqa: BLE001 — report-all is the point
-            failed.append(name)
-            print(f"  FAIL {name}: {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+    spark = _session()
+    names = sorted(Q._REGISTRY)
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+    results: dict[str, str] = {}
+    times: dict[str, float] = {}
+    for name in names:
+        fn, sql = Q._REGISTRY[name]
+        tq = time.time()
+        for attempt in (0, 1):
+            try:
+                if sql is None:
+                    n = fn(spark, args.dir).count()
+                    results[name] = f"ok (rows-only, {n} rows)"
+                else:
+                    ok, msg = compare(fn(spark, args.dir), sql, args.dir)
+                    results[name] = msg if ok else f"FAIL: {msg}"
+                break
+            except Exception as e:  # noqa: BLE001 — record and keep sweeping
+                results[name] = f"FAIL: {type(e).__name__}: {e}"
+                # a dead JVM fails every later query too — rebuild and retry
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                spark = _session()
+        times[name] = round(time.time() - tq, 1)
+        print(f"[sf1] {name}: {results[name]} ({times[name]}s)", file=sys.stderr)
     spark.stop()
-    print(f"{len(ORACLE_SQL) - len(failed)}/{len(ORACLE_SQL)} parity at {sf_dir}")
-    return 1 if failed else 0
+
+    failures = {n: m for n, m in results.items() if m.startswith("FAIL")}
+    print(json.dumps({
+        "sf": 1.0, "dir": args.dir, "gen_sec": gen_sec,
+        "pass": len(results) - len(failures), "fail": len(failures),
+        "sec": round(time.time() - t0, 1),
+        "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:8]),
+        "failures": failures,
+    }))
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    if not os.path.exists(os.path.join(out, "lineitem.parquet")):
-        print(f"building 10x sf0.1 at {out}", flush=True)
-        build(out)
-    raise SystemExit(run_parity(out))
+    sys.exit(main())
