@@ -413,9 +413,22 @@ class LakeTable:
             e = _norm_entry(raw)
             if e["base"] and e["base"]["dir"] not in old_dirs:
                 fe = e["base"]
+                # Manifest seq-bounds pruning: a rewrite dir (compaction /
+                # COW) whose max(__seq) <= the from-snapshot's ceiling holds
+                # only rows the consumer has already seen — skip the scan
+                # entirely. This is what keeps the changelog O(delta) even
+                # when the interval contains a full-table compaction: the
+                # rewritten bases carry old seqs and prune away instead of
+                # being scanned-then-filtered.
+                st = (fe.get("stats") or {}).get(SEQ_COL)
+                if st is not None and st[1] <= floor:
+                    continue
                 by_schema.setdefault((fe["schema_id"], True), []).append(
                     os.path.join(self.root, fe["dir"])
                 )
+            # delta dirs are NEVER seq-pruned: a post-from delta whose seqs
+            # are all <= floor is exactly the documented late-arrival case,
+            # which MOR commits must keep visible
             for fe in e["deltas"]:
                 if fe["dir"] not in old_dirs:
                     by_schema.setdefault((fe["schema_id"], False), []).append(
@@ -480,7 +493,7 @@ class LakeTable:
         )
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(aligned, new_sid, nb)
-        buckets = _base_only_buckets(rel, nb, snap["current_schema_id"])
+        buckets = _base_only_buckets(rel, nb, snap["current_schema_id"], mk=self._file_entry)
         return self._commit(
             snap, new_sid, buckets, app_id, batch_id,
             summary={"operation": "overwrite", "max_seq": seq_value},
@@ -559,12 +572,15 @@ class LakeTable:
             # one-file-per-bucket layout.
             rel = self._stage_write(delta, new_sid, nb, shuffle=not fanout)
             metrics = obs.get
+            new_entries = {
+                b: self._file_entry(d, snap["current_schema_id"])
+                for b, d in rel.items()
+            }
             buckets = {b: _norm_entry(e) for b, e in snap["buckets"].items()}
-            for b, d in rel.items():
+            for b, fe in new_entries.items():
                 buckets[str(b)] = {
                     "base": buckets[str(b)]["base"],
-                    "deltas": buckets[str(b)]["deltas"]
-                    + [{"dir": d, "schema_id": snap["current_schema_id"]}],
+                    "deltas": buckets[str(b)]["deltas"] + [fe],
                 }
             summary = {
                 "operation": "merge",
@@ -582,15 +598,12 @@ class LakeTable:
             # reconciliation is order-independent, so losing the snapshot
             # race just replays the same entry additions on the winner's
             # bucket map (Iceberg fast-append rebase).
-            written_schema_id = snap["current_schema_id"]
-
             def rebase(cur: dict) -> dict[str, Any]:
                 out = {b: _norm_entry(e) for b, e in cur["buckets"].items()}
-                for b, d in rel.items():
+                for b, fe in new_entries.items():
                     out[str(b)] = {
                         "base": out[str(b)]["base"],
-                        "deltas": out[str(b)]["deltas"]
-                        + [{"dir": d, "schema_id": written_schema_id}],
+                        "deltas": out[str(b)]["deltas"] + [fe],
                     }
                 return out
 
@@ -648,7 +661,7 @@ class LakeTable:
         for b in touched:
             d = rel.get(b)
             buckets[str(b)] = {
-                "base": {"dir": d, "schema_id": snap["current_schema_id"]} if d else None,
+                "base": self._file_entry(d, snap["current_schema_id"]) if d else None,
                 "deltas": [],
             }
         summary = {
@@ -702,7 +715,7 @@ class LakeTable:
         for b in todo:
             d = rel.get(b)
             out[str(b)] = {
-                "base": {"dir": d, "schema_id": snap["current_schema_id"]} if d else None,
+                "base": self._file_entry(d, snap["current_schema_id"]) if d else None,
                 "deltas": [],
             }
         return self._commit(
@@ -723,7 +736,7 @@ class LakeTable:
         ).withColumn(BUCKET_COL, bucket_expr(key, nb))
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(kept, new_sid, nb)
-        buckets = _base_only_buckets(rel, nb, snap["current_schema_id"])
+        buckets = _base_only_buckets(rel, nb, snap["current_schema_id"], mk=self._file_entry)
         return self._commit(
             snap, new_sid, buckets, None, None,
             summary={"operation": "purge_tombstones", "before_seq": before_seq},
@@ -936,6 +949,15 @@ class LakeTable:
                     out[b] = os.path.join(stage_rel, name)
         return out
 
+    def _file_entry(self, rel_dir: str, schema_id: int) -> dict[str, Any]:
+        """Manifest entry for one staged file group: dir + schema id +
+        per-column [min, max] bounds (see _dir_stats)."""
+        return {
+            "dir": rel_dir,
+            "schema_id": schema_id,
+            "stats": _dir_stats(os.path.join(self.root, rel_dir)),
+        }
+
     def _commit(
         self,
         parent: dict,
@@ -997,6 +1019,63 @@ class LakeTable:
         return snap
 
 
+def _stat_value(v):
+    """JSON-safe projection of a parquet footer stat; None = not storable."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _dir_stats(path: str) -> dict[str, list] | None:
+    """Per-column [min, max] over every parquet footer under ``path`` —
+    Iceberg's per-data-file column bounds, kept at file-group granularity
+    in the snapshot manifest. Metadata-only reads (no data pages), O(files)
+    at commit time; a column is recorded only when every row group carries
+    exact bounds for it, so recorded bounds are always safe to prune with.
+    On a distributed deployment the write tasks would report these with
+    their output (Iceberg's DataFile stats); a driver-side footer scrape is
+    the local-FS equivalent."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    bad: set[str] = set()
+    try:
+        names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+        for name in names:
+            md = pq.ParquetFile(os.path.join(path, name)).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    cname = col.path_in_schema
+                    if "." in cname:  # nested/list leaf — not a top-level column
+                        continue
+                    st = col.statistics
+                    lo = _stat_value(st.min if st and st.has_min_max else None)
+                    hi = _stat_value(st.max if st and st.has_min_max else None)
+                    if lo is None or hi is None:
+                        bad.add(cname)
+                        continue
+                    mins[cname] = lo if cname not in mins else min(mins[cname], lo)
+                    maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
+    except OSError:
+        return None
+    out = {c: [mins[c], maxs[c]] for c in mins if c not in bad and c in maxs}
+    return out or None
+
+
 def _disjoint_rewrite_rebase(
     parent: dict, rewritten: list[int], my_buckets: dict[str, Any], op: str
 ) -> "Callable[[dict], dict[str, Any]]":
@@ -1035,10 +1114,16 @@ def _norm_entry(entry: dict[str, Any] | None) -> dict[str, Any]:
     return {"base": entry, "deltas": []}
 
 
-def _base_only_buckets(rel: dict[int, str], nb: int, schema_id: int) -> dict[str, Any]:
+def _base_only_buckets(
+    rel: dict[int, str],
+    nb: int,
+    schema_id: int,
+    mk: "Callable[[str, int], dict[str, Any]] | None" = None,
+) -> dict[str, Any]:
+    mk = mk or (lambda d, sid: {"dir": d, "schema_id": sid})
     buckets: dict[str, Any] = {str(b): _norm_entry(None) for b in range(nb)}
     for b, d in rel.items():
-        buckets[str(b)] = {"base": {"dir": d, "schema_id": schema_id}, "deltas": []}
+        buckets[str(b)] = {"base": mk(d, schema_id), "deltas": []}
     return buckets
 
 

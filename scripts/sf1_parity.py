@@ -66,15 +66,20 @@ REPLICATED = {
         SELECT event_id + {k}*{event_id} AS event_id, ts,
                user_id + {k}*{user_id} AS user_id,
                event_type, value, props FROM events""",
-    # per-copy text suffix: replicated docs must not be exact/near dups of
-    # each other, or the dedup family's outputs become one giant tie-group
+    # Copy 1 keeps a suffix-only edit (a TRUE near-dup of copy 0 — one
+    # boilerplate sibling per doc, the realistic web-scale shape). Copies
+    # 2..9 get a per-copy letter rotation that rewrites every shingle:
+    # replicating near-identical text 10x put every doc in a 10-member
+    # near-dup clique and inflated the shingle inverted-index self-join
+    # ~100x (measured: dedup_ngram_jaccard ran 60+ min at sf1) — a data
+    # artifact of naive replication, not a property of the engine.
     "documents": """
         SELECT doc_id + {k}*{doc_id} AS doc_id,
                CASE WHEN {k} = 0 THEN text
-                    ELSE text || ' rev' || {k} END AS text,
+                    WHEN {k} = 1 THEN text || ' rev1'
+                    ELSE translate(text, 'etaoinshrd', {rot}) END AS text,
                lang, source,
-               CASE WHEN {k} = 0 THEN n_chars
-                    ELSE n_chars + 4 + length(CAST({k} AS VARCHAR)) END AS n_chars
+               CASE WHEN {k} = 1 THEN n_chars + 5 ELSE n_chars END AS n_chars
         FROM documents""",
     # per-copy constant add breaks cosine ties (cosine is scale-invariant,
     # so a multiply would NOT); label offset keeps block sizes constant so
@@ -103,8 +108,12 @@ def build(out_dir: str) -> None:
         con.execute(
             f"COPY (SELECT * FROM {t}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
+    alpha = "etaoinshrd"
     for t, tpl in REPLICATED.items():
-        parts = " UNION ALL ".join(tpl.format(k=k, **OFF) for k in range(COPIES))
+        parts = " UNION ALL ".join(
+            tpl.format(k=k, rot=f"'{alpha[k % 10:] + alpha[:k % 10]}'", **OFF)
+            for k in range(COPIES)
+        )
         con.execute(
             f"COPY ({parts}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )

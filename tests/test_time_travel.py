@@ -173,3 +173,69 @@ def test_changes_detects_lossy_purge_inside_interval(spark, table):
     table.merge(dedup_latest(_changes_df(spark, [(12, "U", "doc-000006", [1], 1, "s")])))
     table.purge_tombstones(before_seq=0)
     assert table.changes(sid1).count() == 1
+
+
+def test_manifest_stats_recorded(spark, table):
+    """Every committed file group carries per-column [min,max] bounds —
+    at minimum for __seq, the column the changelog prunes on."""
+    table.merge(
+        _changes_df(spark, [(5, "U", "d1", [1, 2], 2, "s")]), mode="mor"
+    )
+    snap = table.snapshot()
+    entries = []
+    for e in snap["buckets"].values():
+        if e.get("base"):
+            entries.append(e["base"])
+        entries.extend(e.get("deltas") or [])
+    assert entries
+    for fe in entries:
+        st = fe.get("stats")
+        assert st and "__seq" in st, fe
+        lo, hi = st["__seq"]
+        assert lo <= hi
+
+
+def test_changes_prunes_compaction_rewrites(spark, table):
+    """A compaction inside the changelog interval rewrites the whole table
+    with already-seen seqs; the seq-bounds in the manifest must prune those
+    rewrite dirs from the scan (O(delta), not O(table)) while the result
+    stays identical."""
+    table.merge(
+        _changes_df(spark, [(10, "U", "da", [1], 1, "s"), (11, "U", "db", [2], 1, "s")]),
+        mode="mor",
+    )
+    from_sid = table.snapshot()["snapshot_id"]
+    compacted = table.compact()  # rewrites all dirty buckets, max seq <= 11
+    assert compacted["summary"]["operation"] == "compact"
+    table.merge(
+        _changes_df(spark, [(12, "U", "dc", [3], 1, "s")]), mode="mor"
+    )
+
+    ch = table.changes(from_sid)
+    got = {r["doc_id"]: r["_change_type"] for r in ch.collect()}
+    assert got == {"dc": "upsert"}
+
+    # the compaction's rewritten base dirs must not be scanned at all
+    comp_dirs = {
+        e["base"]["dir"]
+        for e in table.snapshot_at(compacted["snapshot_id"])["buckets"].values()
+        if e.get("base")
+    }
+    scanned = ch.inputFiles()
+    for f in scanned:
+        assert not any(d in f for d in comp_dirs), f
+
+
+def test_changes_keeps_late_arrival_deltas_despite_old_seqs(spark, table):
+    """Delta dirs are never seq-pruned: a post-interval-start MOR commit
+    whose seqs are all below the from-ceiling is the documented
+    late-arrival case and must stay visible."""
+    table.merge(
+        _changes_df(spark, [(50, "U", "d1", [1], 1, "s")]), mode="mor"
+    )
+    from_sid = table.snapshot()["snapshot_id"]  # ceiling now 50
+    table.merge(
+        _changes_df(spark, [(7, "U", "late_new_key", [9], 1, "s")]), mode="mor"
+    )
+    got = {r["doc_id"] for r in table.changes(from_sid).collect()}
+    assert got == {"late_new_key"}
