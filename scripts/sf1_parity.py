@@ -122,10 +122,61 @@ def build(out_dir: str) -> None:
         f.write("1")
 
 
+def _banded_simhash_near_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    """sf1-only oracle for dedup_simhash_near: the registered oracle is the
+    trivially-correct O(n^2) cross join — 1.25e9 pairs at sf1 (measured:
+    killed after 35 min single query). This variant applies the same
+    4-band pigeonhole (Hamming<=3 over 4 bands forces >=1 identical band —
+    lossless) with hash-joinable band equalities. Its equivalence to the
+    quadratic formulation is not assumed here: the driver gate and
+    tests/test_oracle_parity.py prove exactly that equivalence at
+    sf0.01/sf0.001 against the quadratic oracle every round."""
+    from omicidx_etl_spark.queries import _simhash_cte
+
+    band = bits // 4
+
+    def _ham(a: str, b: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN substr({a}, {x+1}, 1) <> substr({b}, {x+1}, 1) "
+            "THEN 1 ELSE 0 END)"
+            for x in range(bits)
+        )
+
+    join_ham = _ham("a.simhash", "b.simhash")
+    # Hamming filter INSIDE each band join: the union then dedups only the
+    # (small) qualifying pair set instead of ~10^8 raw band collisions.
+    bands = "\n      UNION\n".join(
+        f"""      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(({join_ham}) AS INT) AS hamming
+      FROM sig a JOIN sig b
+        ON substr(a.simhash, {i*band+1}, {band}) = substr(b.simhash, {i*band+1}, {band})
+       AND a.doc < b.doc
+      WHERE ({join_ham}) <= {max_hamming}"""
+        for i in range(4)
+    )
+    return f"""
+    {_simhash_cte(bits)}
+    SELECT doc_a, doc_b, hamming FROM (
+{bands}
+    )
+    """
+
+
+# Queries whose registered oracle is deliberately quadratic (fine at the
+# driver's sf0.01 gate, infeasible at sf1) get a scalable-but-equivalent
+# oracle here; the equivalence itself is what the small-SF gates prove.
+def _oracle_overrides() -> dict[str, str]:
+    return {"dedup_simhash_near": _banded_simhash_near_sql(16, 3)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/dev/shm/spark_graft_sf1")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--state", default="/tmp/sf1_parity_state.json",
+        help="incremental results file; queries already 'ok' there are "
+        "skipped (the host kills long JVMs — a sweep must be resumable)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -155,10 +206,21 @@ def main() -> int:
     names = sorted(Q._REGISTRY)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
+    overrides = _oracle_overrides()
     results: dict[str, str] = {}
     times: dict[str, float] = {}
+    if args.state and os.path.exists(args.state):
+        prior = json.load(open(args.state))
+        results = {n: m for n, m in prior.get("results", {}).items()
+                   if m.startswith("ok")}
+        times = {n: prior.get("times", {}).get(n, 0.0) for n in results}
+        print(f"[sf1] resume: {len(results)} prior ok", file=sys.stderr)
     for name in names:
+        if name in results:
+            continue
         fn, sql = Q._REGISTRY[name]
+        if sql is not None and name in overrides:
+            sql = overrides[name]
         tq = time.time()
         for attempt in (0, 1):
             try:
@@ -179,6 +241,11 @@ def main() -> int:
                 spark = _session()
         times[name] = round(time.time() - tq, 1)
         print(f"[sf1] {name}: {results[name]} ({times[name]}s)", file=sys.stderr)
+        if args.state:
+            tmp = args.state + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"results": results, "times": times}, f)
+            os.replace(tmp, args.state)
     spark.stop()
 
     failures = {n: m for n, m in results.items() if m.startswith("FAIL")}
