@@ -121,11 +121,17 @@ def replay_batch(
     lineage: "LineageLog | None" = None,
     mode: str = "cow",
     fanout: bool = False,
+    branch: str | None = None,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the table, exactly once.
 
     Returns the committed snapshot dict (or the skipped marker if this
     (app_id, batch_id) is already in the table's transaction watermark).
+
+    ``branch`` stages the batch on a write-audit-publish branch (see
+    ``LakeTable.merge``): run validation queries via
+    ``table.read(branch=...)``, then ``table.publish(branch)`` — main
+    consumers never observe an unaudited batch.
     """
     if dedup_method == "none" and mode != "mor":
         raise ValueError("dedup_method='none' requires mode='mor'")
@@ -160,6 +166,7 @@ def replay_batch(
         batch_id=batch_id,
         mode=mode,
         fanout=fanout,
+        branch=branch,
         extra_summary=lambda: _obs_stats(obs.get),
     )
     if lineage is not None:

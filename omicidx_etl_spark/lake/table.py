@@ -31,6 +31,13 @@ swap-compatible API):
   without rewriting data; every data dir records the schema id it was
   written under, and reads cast/align each schema generation to the current
   schema (Iceberg UpdateSchema semantics).
+- **Branches (write-audit-publish)**: ``merge(branch="audit")`` commits
+  snapshots onto a named ref while main's pointer is untouched;
+  ``read(branch=...)`` audits them with full query semantics;
+  ``publish("audit")`` fast-forwards main iff it is still an ancestor of
+  the branch head (Iceberg ``wap.branch`` + ``fast_forward``). Publishing
+  is O(1) metadata; an abandoned branch costs one ``drop_branch`` and its
+  files age out via ``expire_snapshots``.
 - **Retention**: ``expire_snapshots`` drops old snapshot JSONs and deletes
   data dirs no retained snapshot references — the reference's two-pass
   superseded-batch cleanup (``omicidx_etl/sra/catalog.py:212-275``) done
@@ -136,6 +143,31 @@ class LakeTable:
     def _snap_path(self, sid: int) -> str:
         return os.path.join(self._meta_dir, f"snapshot-{sid:09d}.json")
 
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta_dir, "refs.json")
+
+    def _read_refs(self) -> dict[str, int]:
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def _next_sid(self) -> int:
+        """Next globally-unique snapshot id. With branches the snapshot graph
+        is a DAG, so parent+1 can collide across forks — ids are allocated
+        from the max committed id, under the commit lock."""
+        best = -1
+        for name in os.listdir(self._meta_dir):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                best = max(best, int(name[len("snapshot-"):-len(".json")]))
+        return best + 1
+
     # ------------------------------------------------------------ create/load
     @classmethod
     def create(
@@ -190,19 +222,24 @@ class LakeTable:
             self._snap = json.load(f)
         return self._snap
 
-    def _write_snapshot(self, snap: dict[str, Any]) -> None:
+    def _write_snapshot(self, snap: dict[str, Any], swap_pointer: bool = True) -> None:
         sid = snap["snapshot_id"]
         path = self._snap_path(sid)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
         os.replace(tmp, path)
+        if not swap_pointer:  # branch commit: the snapshot exists but main
+            return            # does not see it until publish()
         # atomic pointer swap = the commit point
+        self._swap_pointer(sid)
+        self._snap = snap
+
+    def _swap_pointer(self, sid: int) -> None:
         ptmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
         with open(ptmp, "w") as f:
-            f.write(os.path.basename(path))
+            f.write(os.path.basename(self._snap_path(sid)))
         os.replace(ptmp, self._pointer_path())
-        self._snap = snap
 
     def snapshot_at(self, sid: int) -> dict[str, Any]:
         """Load a pinned snapshot by id (time travel). Raises with a clear
@@ -223,6 +260,143 @@ class LakeTable:
                 with open(os.path.join(self._meta_dir, name)) as f:
                     snaps.append(json.load(f))
         return snaps
+
+    # ------------------------------------------------- branches (WAP refs)
+    # Write-audit-publish: ``merge(..., branch="audit")`` commits snapshots
+    # a named ref points at while main (the ``_current`` pointer) is
+    # untouched; auditors validate via ``read(branch=...)``; ``publish``
+    # fast-forwards main to the branch head iff main is still an ancestor —
+    # Iceberg's ``wap.branch`` write + ``fast_forward`` procedure, over the
+    # same snapshot DAG this table already has (``parent_id`` links).
+    # The reference stages each batch in a scratch area and promotes it with
+    # a rename + marker (omicidx_etl/sra/catalog.py:291-320); a branch is
+    # that staging made atomic, auditable with full query semantics, and
+    # conflict-checked against concurrent main commits.
+
+    def branches(self) -> dict[str, int]:
+        """Live refs: branch name -> head snapshot id."""
+        return self._read_refs()
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Fork a branch at snapshot ``at`` (default: current main)."""
+        with _commit_lock(self._meta_dir):
+            refs = self._read_refs()
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists at {refs[name]}")
+            sid = self.snapshot()["snapshot_id"] if at is None else at
+            self.snapshot_at(sid)  # must exist
+            refs[name] = sid
+            self._write_refs(refs)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        with _commit_lock(self._meta_dir):
+            refs = self._read_refs()
+            refs.pop(name, None)
+            self._write_refs(refs)
+
+    def publish(self, name: str, drop: bool = True) -> dict[str, Any]:
+        """Fast-forward main to branch ``name``'s head (the P of WAP).
+
+        Requires main's current snapshot to be an ancestor of the branch
+        head — i.e. no commit landed on main since the fork. Otherwise
+        raises :class:`CommitConflict`: the audited state was built on a
+        stale base, and silently merging would publish data nobody audited.
+        (Iceberg ``fast_forward`` has the same precondition.) The swap is
+        O(1) metadata — no data moves at publish time."""
+        with _commit_lock(self._meta_dir):
+            refs = self._read_refs()
+            if name not in refs:
+                raise KeyError(f"unknown branch {name!r}")
+            head = refs[name]
+            main_sid = self.snapshot()["snapshot_id"]
+            sid: int | None = head
+            seen = set()
+            while sid is not None and sid not in seen:
+                if sid == main_sid:
+                    break
+                seen.add(sid)
+                try:
+                    sid = self.snapshot_at(sid).get("parent_id")
+                except FileNotFoundError:  # expired ancestor: stop the walk
+                    sid = None
+            else:
+                raise CommitConflict(
+                    f"cannot fast-forward: main advanced to {main_sid}, "
+                    f"which is not an ancestor of branch {name!r} head "
+                    f"{head}; re-fork the branch and re-apply"
+                )
+            self._swap_pointer(head)
+            if drop:
+                refs.pop(name, None)
+                self._write_refs(refs)
+            return self.snapshot()
+
+    # ------------------------------------------------------- metadata tables
+    # Iceberg exposes table internals as queryable relations
+    # (``db.tbl.snapshots`` / ``.files`` / ``.refs``); operators monitor and
+    # debug the lake with plain SQL instead of reading manifest JSON. These
+    # are O(metadata) driver-side constructions — never a data-file scan.
+
+    def meta_snapshots(self) -> DataFrame:
+        """One row per retained snapshot: id, parent, operation, commit time,
+        summary metrics. ``SELECT`` over this replaces manifest spelunking
+        for audit/debug (e.g. rows_written per commit over time)."""
+        rows = [
+            (
+                int(s["snapshot_id"]),
+                s.get("parent_id"),
+                (s.get("summary") or {}).get("operation"),
+                float(s.get("committed_at", 0.0)),
+                int(s.get("seq_ceiling", -1)),
+                json.dumps(s.get("summary") or {}),
+            )
+            for s in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, operation string, "
+            "committed_at double, seq_ceiling long, summary string",
+        )
+
+    def meta_files(self, as_of: int | None = None, branch: str | None = None) -> DataFrame:
+        """One row per live file group in a snapshot's manifest: bucket,
+        dir, base-vs-delta, schema id, and the per-column [min,max] bounds
+        the scan planner prunes with."""
+        if branch is not None:
+            refs = self._read_refs()
+            if branch not in refs:
+                raise KeyError(f"unknown branch {branch!r}")
+            as_of = refs[branch]
+        snap = self.snapshot() if as_of is None else self.snapshot_at(as_of)
+        rows = []
+        for b, raw in snap["buckets"].items():
+            e = _norm_entry(raw)
+            entries = [(e["base"], False)] if e["base"] else []
+            entries += [(fe, True) for fe in e["deltas"]]
+            for fe, is_delta in entries:
+                rows.append(
+                    (
+                        int(b),
+                        fe["dir"],
+                        is_delta,
+                        int(fe["schema_id"]),
+                        json.dumps(fe.get("stats")),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, dir string, is_delta boolean, schema_id int, "
+            "stats string",
+        )
+
+    def meta_refs(self) -> DataFrame:
+        """One row per named ref plus main: name, head snapshot id."""
+        refs = dict(self._read_refs())
+        rows = [("main", int(self.snapshot()["snapshot_id"]))] + [
+            (k, int(v)) for k, v in sorted(refs.items())
+        ]
+        return self.spark.createDataFrame(rows, "name string, snapshot_id long")
 
     # ------------------------------------------------------------ properties
     @property
@@ -249,8 +423,13 @@ class LakeTable:
         include_deleted: bool = False,
         include_system: bool = False,
         as_of: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
+
+        ``branch`` reads a named ref's head (the audit step of
+        write-audit-publish) — same resolution as ``as_of`` at the branch's
+        head snapshot id; mutually exclusive with ``as_of``.
 
         ``as_of`` pins the read to a historical snapshot id (Iceberg
         ``VERSION AS OF`` time travel): the scan resolves that snapshot's
@@ -269,6 +448,13 @@ class LakeTable:
         are filtered out unless requested; system columns (``__seq``,
         ``__deleted``) are dropped unless requested.
         """
+        if branch is not None:
+            if as_of is not None:
+                raise ValueError("branch and as_of are mutually exclusive")
+            refs = self._read_refs()
+            if branch not in refs:
+                raise KeyError(f"unknown branch {branch!r}")
+            as_of = refs[branch]
         snap = self.snapshot() if as_of is None else self.snapshot_at(as_of)
         key = snap["table"]["key"]
         cur_phys = _phys(self.current_schema(snap))
@@ -511,6 +697,7 @@ class LakeTable:
         extra_summary: "dict[str, Any] | Callable[[], dict[str, Any]] | None" = None,
         mode: str = "cow",
         fanout: bool = False,
+        branch: str | None = None,
     ) -> dict[str, Any]:
         """MERGE INTO this table USING ``changes`` ON key, versioned:
 
@@ -535,8 +722,20 @@ class LakeTable:
         call ``compact()`` to fold deltas into the base. At 10^10 events this
         is the sustained-throughput path: per-batch cost is O(batch), not
         O(touched table).
+
+        ``branch`` commits onto a named ref instead of main (the W of
+        write-audit-publish; auto-forked from current main on first write,
+        like Iceberg's ``wap.branch``): main readers never see the batch
+        until ``publish``. Conflict validation and rebase run against the
+        BRANCH head, so concurrent main commits don't fail branch writes —
+        they surface at ``publish`` time instead.
         """
-        snap = self.snapshot()
+        refs = self._read_refs() if branch is not None else {}
+        snap = (
+            self.snapshot_at(refs[branch])
+            if branch in refs
+            else self.snapshot()
+        )
         if _already_committed(snap, app_id, batch_id):
             return _skipped(snap, app_id, batch_id)
         key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
@@ -608,7 +807,8 @@ class LakeTable:
                 return out
 
             return self._commit(
-                snap, new_sid, buckets, app_id, batch_id, summary, rebase=rebase
+                snap, new_sid, buckets, app_id, batch_id, summary,
+                rebase=rebase, ref=branch,
             )
 
         if mode != "cow":
@@ -619,7 +819,7 @@ class LakeTable:
         if not touched:
             return self._commit(
                 snap, snap["snapshot_id"] + 1, dict(snap["buckets"]),
-                app_id, batch_id,
+                app_id, batch_id, ref=branch,
                 summary={"operation": "merge", "touched_buckets": 0},
                 # nothing written: a rebase just adopts the winner's buckets
                 rebase=lambda cur: {
@@ -631,8 +831,13 @@ class LakeTable:
         c_side = ch_phys.select(
             F.col(key).alias("__k"), F.struct(*phys_cols).alias("__c")
         )
+        # as_of pins the base scan to the snapshot this merge planned
+        # against (which is the BRANCH head for branch merges) — the join
+        # must not silently absorb a concurrently-committed main snapshot
+        # the conflict check below would then fail to notice.
         b_side = self.read(
-            buckets=touched, include_deleted=True, include_system=True
+            buckets=touched, include_deleted=True, include_system=True,
+            as_of=snap["snapshot_id"],
         ).select(F.col(key).alias("__k"), F.struct(*phys_cols).alias("__b"))
 
         joined = b_side.join(c_side, "__k", "full_outer")
@@ -677,6 +882,7 @@ class LakeTable:
         return self._commit(
             snap, new_sid, buckets, app_id, batch_id, summary,
             rebase=_disjoint_rewrite_rebase(snap, touched, buckets, "cow merge"),
+            ref=branch,
         )
 
     def compact(
@@ -834,7 +1040,6 @@ class LakeTable:
     ) -> None:
         new_schema_id = max(int(k) for k in snap["schemas"]) + 1
         new = dict(snap)
-        new["snapshot_id"] = snap["snapshot_id"] + 1
         new["parent_id"] = snap["snapshot_id"]
         new["schemas"] = dict(snap["schemas"], **{str(new_schema_id): new_schema.json()})
         if field_ids is not None:
@@ -863,15 +1068,41 @@ class LakeTable:
                     f"{cur['snapshot_id']} during {op!r}; schema evolution "
                     "cannot be rebased — retry against the current snapshot"
                 )
+            # id from the global allocator: parent+1 may name an existing
+            # branch snapshot (forked DAG), which this write must not clobber
+            new["snapshot_id"] = self._next_sid()
             self._write_snapshot(new)
 
     # -------------------------------------------------------------- retention
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop old snapshot files and delete data dirs no retained snapshot
-        references. Returns deleted data-dir relpaths."""
+        references. Returns deleted data-dir relpaths.
+
+        Retained: the last ``keep_last`` snapshots of MAIN's ancestry (not
+        the last N ids — branch commits interleave ids, and "newest N files"
+        could otherwise expire main's own current snapshot), plus every live
+        branch head and its chain back to a retained snapshot (``publish``
+        must be able to walk head → main to prove fast-forward ancestry)."""
+        keep_ids: set[int] = set()
+        sid: int | None = self.snapshot()["snapshot_id"]
+        for _ in range(max(keep_last, 1)):
+            if sid is None:
+                break
+            keep_ids.add(sid)
+            try:
+                sid = self.snapshot_at(sid).get("parent_id")
+            except FileNotFoundError:
+                break
+        for head in self._read_refs().values():
+            chain: int | None = head
+            while chain is not None and chain not in keep_ids:
+                keep_ids.add(chain)
+                try:
+                    chain = self.snapshot_at(chain).get("parent_id")
+                except FileNotFoundError:
+                    break
         snaps = self.history()
-        keep = snaps[-keep_last:] if keep_last > 0 else snaps[-1:]
-        keep_ids = {s["snapshot_id"] for s in keep}
+        keep = [s for s in snaps if s["snapshot_id"] in keep_ids]
         referenced = set()
         for s in keep:
             for raw in s["buckets"].values():
@@ -967,6 +1198,7 @@ class LakeTable:
         batch_id: int | None,
         summary: dict[str, Any],
         rebase: "Callable[[dict], dict[str, Any]] | None" = None,
+        ref: str | None = None,
     ) -> dict[str, Any]:
         """Optimistic-concurrency commit (Iceberg commit protocol): data
         files are already staged; under the commit lock, validate that the
@@ -976,9 +1208,19 @@ class LakeTable:
         operations that commute, e.g. merge-on-read delta appends and
         disjoint copy-on-write rewrites) or raise :class:`CommitConflict`.
         A losing writer's staged files become unreferenced orphans exactly
-        as if it had crashed — never a partially-visible commit."""
+        as if it had crashed — never a partially-visible commit.
+
+        ``ref`` commits onto that branch: validation runs against the branch
+        head (auto-forking from current main if the branch does not exist
+        yet), the snapshot file is written WITHOUT moving the main pointer,
+        and the ref advances instead — main readers are oblivious until
+        ``publish``."""
         with _commit_lock(self._meta_dir):
-            cur = self.snapshot()
+            refs = self._read_refs()
+            if ref is not None and ref in refs:
+                cur = self.snapshot_at(refs[ref])
+            else:
+                cur = self.snapshot()
             if cur["snapshot_id"] != parent["snapshot_id"]:
                 if _already_committed(cur, app_id, batch_id):
                     return _skipped(cur, app_id, batch_id)
@@ -992,10 +1234,13 @@ class LakeTable:
                 buckets = rebase(cur)
                 summary = dict(summary, rebased_from=parent["snapshot_id"])
                 parent = cur
-                new_sid = cur["snapshot_id"] + 1
             txn = dict(parent["txn"])
             if app_id is not None and batch_id is not None:
                 txn[app_id] = max(batch_id, txn.get(app_id, -1))
+            # With branches the snapshot graph forks: parent+1 is not unique
+            # across refs, so ids come from the global allocator (still under
+            # the lock, so still race-free).
+            new_sid = self._next_sid()
             snap = {
                 "snapshot_id": new_sid,
                 "parent_id": parent["snapshot_id"],
@@ -1015,7 +1260,10 @@ class LakeTable:
                 ),
                 "committed_at": time.time(),
             }
-            self._write_snapshot(snap)
+            self._write_snapshot(snap, swap_pointer=ref is None)
+            if ref is not None:
+                refs[ref] = new_sid
+                self._write_refs(refs)
         return snap
 
 
