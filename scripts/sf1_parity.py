@@ -127,35 +127,36 @@ def _banded_simhash_near_sql(bits: int = 16, max_hamming: int = 3) -> str:
     trivially-correct O(n^2) cross join — 1.25e9 pairs at sf1 (measured:
     killed after 35 min single query). This variant applies the same
     4-band pigeonhole (Hamming<=3 over 4 bands forces >=1 identical band —
-    lossless) with hash-joinable band equalities. Its equivalence to the
+    lossless) with hash-joinable band equalities, and packs the 16-char
+    '0'/'1' signature into one integer so the per-collision Hamming verify
+    is xor+bit_count instead of 2x16 substr CASEs (the substr form spent
+    30+ min on sf1's ~3e8 raw band collisions). Its equivalence to the
     quadratic formulation is not assumed here: the driver gate and
     tests/test_oracle_parity.py prove exactly that equivalence at
     sf0.01/sf0.001 against the quadratic oracle every round."""
     from omicidx_etl_spark.queries import _simhash_cte
 
     band = bits // 4
-
-    def _ham(a: str, b: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN substr({a}, {x+1}, 1) <> substr({b}, {x+1}, 1) "
-            "THEN 1 ELSE 0 END)"
-            for x in range(bits)
-        )
-
-    join_ham = _ham("a.simhash", "b.simhash")
+    pack = " + ".join(
+        f"(CASE WHEN substr(simhash, {x+1}, 1) = '1' "
+        f"THEN {1 << (bits - 1 - x)} ELSE 0 END)"
+        for x in range(bits)
+    )
     # Hamming filter INSIDE each band join: the union then dedups only the
     # (small) qualifying pair set instead of ~10^8 raw band collisions.
     bands = "\n      UNION\n".join(
         f"""      SELECT a.doc AS doc_a, b.doc AS doc_b,
-             CAST(({join_ham}) AS INT) AS hamming
-      FROM sig a JOIN sig b
-        ON substr(a.simhash, {i*band+1}, {band}) = substr(b.simhash, {i*band+1}, {band})
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM sigi a JOIN sigi b
+        ON ((a.sh >> {bits - (i + 1) * band}) & {(1 << band) - 1})
+         = ((b.sh >> {bits - (i + 1) * band}) & {(1 << band) - 1})
        AND a.doc < b.doc
-      WHERE ({join_ham}) <= {max_hamming}"""
+      WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
         for i in range(4)
     )
     return f"""
     {_simhash_cte(bits)}
+    , sigi AS (SELECT doc, CAST({pack} AS BIGINT) AS sh FROM sig)
     SELECT doc_a, doc_b, hamming FROM (
 {bands}
     )
