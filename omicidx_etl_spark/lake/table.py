@@ -770,7 +770,10 @@ class LakeTable:
             # of tasks×buckets files per commit. Default keeps the clustered
             # one-file-per-bucket layout.
             rel = self._stage_write(delta, new_sid, nb, shuffle=not fanout)
-            metrics = obs.get
+            # zero-row batch (e.g. a merge_into where no clause fired):
+            # nothing was staged, and the Observation row is empty/absent
+            # because AQE collapses the empty write plan — don't fetch it
+            metrics = obs.get if rel else {}
             new_entries = {
                 b: self._file_entry(d, snap["current_schema_id"])
                 for b, d in rel.items()
@@ -883,6 +886,58 @@ class LakeTable:
             snap, new_sid, buckets, app_id, batch_id, summary,
             rebase=_disjoint_rewrite_rebase(snap, touched, buckets, "cow merge"),
             ref=branch,
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        update_set: "dict[str, Any] | str | None" = None,
+        update_condition: "Any | None" = None,
+        delete_condition: "Any | None" = None,
+        insert_values: "dict[str, Any] | str | None" = None,
+        insert_condition: "Any | None" = None,
+        mode: str = "mor",
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        branch: str | None = None,
+        extra_summary: "dict[str, Any] | None" = None,
+    ) -> dict[str, Any]:
+        """Conditional MERGE INTO (Iceberg/Delta WHEN MATCHED / WHEN NOT
+        MATCHED clauses). Clauses compile to a minimal versioned change set
+        (see ``lake/merge_into.py``) that flows through :meth:`merge`, so
+        MOR/COW plans, exactly-once batch ids, branches and OCC rebase are
+        inherited. Conditions/assignments are Columns or SQL strings over
+        ``source.<col>`` / ``target.<col>``; ``"*"`` means every same-named
+        source column. Snapshot-isolated — for serializable audit-then-swap,
+        merge onto a ``branch`` and ``publish`` it."""
+        from .merge_into import compile_merge_changes
+
+        refs = self._read_refs() if branch is not None else {}
+        snap = (
+            self.snapshot_at(refs[branch])
+            if branch in refs
+            else self.snapshot()
+        )
+        if _already_committed(snap, app_id, batch_id):
+            return _skipped(snap, app_id, batch_id)
+        target = self.read(
+            include_deleted=True, include_system=True,
+            as_of=snap["snapshot_id"],
+        )
+        ch = compile_merge_changes(
+            target, source, snap["table"]["key"],
+            [f.name for f in self.current_schema(snap).fields],
+            update_set=update_set, update_condition=update_condition,
+            delete_condition=delete_condition, insert_values=insert_values,
+            insert_condition=insert_condition,
+        )
+        summary = {"operation": "merge_into"}
+        if extra_summary:
+            summary.update(extra_summary)
+        return self.merge(
+            ch, mode=mode, app_id=app_id, batch_id=batch_id, branch=branch,
+            extra_summary=summary,
         )
 
     def compact(

@@ -228,6 +228,102 @@ def w3_changelog_interval(spark, sf_dir):
 
 
 @register(
+    "merge_into_clauses",
+    """
+    WITH tgt AS (
+      SELECT c_custkey,
+             CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS balance_cents,
+             CAST(0 AS BIGINT) AS src_orders
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), src AS (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT t.c_custkey AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL AND s.n_orders >= 5
+                THEN t.balance_cents + s.spend_cents
+                ELSE t.balance_cents END AS balance_cents,
+           CASE WHEN s.c_custkey IS NOT NULL AND s.n_orders >= 5
+                THEN s.n_orders ELSE t.src_orders END AS src_orders
+    FROM tgt t LEFT JOIN src s USING (c_custkey)
+    WHERE s.c_custkey IS NULL OR s.n_orders <> 1
+    UNION ALL
+    SELECT s.c_custkey, s.spend_cents AS balance_cents, s.n_orders AS src_orders
+    FROM src s LEFT JOIN tgt t USING (c_custkey)
+    WHERE t.c_custkey IS NULL
+    """,
+)
+def merge_into_clauses(spark, sf_dir):
+    """Conditional MERGE INTO run END-TO-END through the lake table
+    (``lake/merge_into.py``): BUILDING customers become the target table;
+    per-customer order stats are the source; WHEN MATCHED AND n_orders=1
+    THEN DELETE, WHEN MATCHED AND n_orders>=5 THEN UPDATE (balance +=
+    spend), WHEN NOT MATCHED THEN INSERT. The oracle is the equivalent
+    relational CASE-join — so the driver gate proves clause semantics AND
+    the physical MOR write/read roundtrip in one row. Fixed-point cents
+    keep both engines hash-identical. Exactly-once batch ids make re-runs
+    of a cached table a no-op."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from omicidx_etl_spark.lake import LakeTable
+
+    cache = hashlib.md5(f"{sf_dir}|merge_into_v1".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_mi_{cache}")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("balance_cents", T.LongType()),
+            T.StructField("src_orders", T.LongType()),
+        ]
+    )
+    t = (
+        LakeTable.load(spark, root)
+        if LakeTable.exists(root)
+        else LakeTable.create(spark, root, schema, key="c_custkey", n_buckets=8)
+    )
+    tgt = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("c_custkey").cast("long"),
+            _cents(F.col("c_acctbal")).alias("balance_cents"),
+            F.lit(0).cast("long").alias("src_orders"),
+        )
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").cast("long").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"),
+        )
+    )
+    t.overwrite(tgt, app_id="mi", batch_id=0)
+    t.merge_into(
+        src,
+        delete_condition="source.n_orders = 1",
+        update_set={
+            "balance_cents": "target.balance_cents + source.spend_cents",
+            "src_orders": "source.n_orders",
+        },
+        update_condition="source.n_orders >= 5",
+        insert_values={
+            "balance_cents": "source.spend_cents",
+            "src_orders": "source.n_orders",
+        },
+        mode="mor",
+        app_id="mi",
+        batch_id=1,
+    )
+    return t.read()
+
+
+@register(
     "w2_surrogate_ids",
     """
     SELECT c_custkey, c_name,

@@ -30,3 +30,24 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_compare_detects_mismatches():
+    """The comparator is vectorized (numpy column-wise) — prove it still
+    FAILS on real differences, per dtype family, not just passes on
+    identical inputs."""
+    import numpy as np
+    import pandas as pd
+
+    from omicidx_etl_spark.plans.oracle import _col_mismatch
+
+    f = pd.Series([1.0, np.nan, 3.0])
+    assert _col_mismatch(f, f.copy()) is None
+    assert _col_mismatch(f, pd.Series([1.0, np.nan, 4.0])) == 2
+    o = pd.Series([None, (1, 2), "x"], dtype=object)
+    assert _col_mismatch(o, o.copy()) is None
+    assert _col_mismatch(o, pd.Series([None, (1, 3), "x"], dtype=object)) == 1
+    ts = pd.Series(pd.to_datetime(["2024-01-01", None]))
+    assert _col_mismatch(ts, ts.copy()) is None
+    assert _col_mismatch(ts, pd.Series(pd.to_datetime(["2024-01-02", None]))) == 0
+    assert _col_mismatch(pd.Series([1, 2]), pd.Series([1, 9])) == 1
