@@ -159,17 +159,55 @@ def scalable_surrogate_ids(
     df: DataFrame, order_col: str, id_name: str = "row_id", partitions: int = 0
 ) -> DataFrame:
     """Distributed dense surrogate ids with the same result as
-    ``surrogate_ids``: range-repartition by the order key, rank within each
-    partition, then add per-partition offsets (one tiny driver-side pass over
-    partition counts). Two narrow passes, no single-partition sort."""
-    n = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(n), order_col)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    # per-partition rank (window over small in-partition groups)
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    local = with_pid.withColumn("__lrn", F.row_number().over(w))
+    ``surrogate_ids``: assign each row a range partition from boundary
+    literals, rank within each partition, then add per-partition offsets
+    (one tiny driver-side pass over partition counts). Two narrow passes,
+    no single-partition sort.
+
+    The boundaries are computed ONCE (``approxQuantile``; seeded
+    driver-side sample for non-numeric keys) and baked into the plan as
+    literals, so the partition of a row is a pure function of its key.
+    The previous ``repartitionByRange`` + ``spark_partition_id`` version
+    re-SAMPLED boundaries independently in the offset-count job and the
+    final pass; on multi-file input the two jobs disagreed and ids
+    shifted across the boundary (caught only by the sf1 parity sweep —
+    sf0.1 fits one scan split, where both samplings coincide). Boundary
+    *balance* affects only performance, never values."""
+    spark = df.sparkSession
+    n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds: list = []
+    if n > 1:
+        dtype = dict(df.dtypes)[order_col]
+        numeric = dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or dtype.startswith("decimal")
+        if numeric:
+            qs = [i / n for i in range(1, n)]
+            bounds = df.stat.approxQuantile(order_col, qs, 0.001)
+        else:
+            # seeded sample, split evenly driver-side; worst case the
+            # sample is unrepresentative and partitions skew — ids stay
+            # correct because the boundaries are literals either way
+            sample = sorted(
+                r[0]
+                for r in df.select(order_col)
+                .sample(fraction=0.1, seed=7)
+                .limit(n * 1000)
+                .collect()
+                if r[0] is not None
+            )
+            step = max(1, len(sample) // n)
+            bounds = sample[step::step][: n - 1]
+        bounds = sorted(set(bounds))
+    pid = F.lit(0)
+    if bounds:
+        pid = F.when(F.col(order_col) <= F.lit(bounds[0]), F.lit(0))
+        for i, b in enumerate(bounds[1:], start=1):
+            pid = pid.when(F.col(order_col) <= F.lit(b), F.lit(i))
+        pid = pid.otherwise(F.lit(len(bounds)))
+    with_pid = df.withColumn("__pid", pid)
     counts = (
-        local.groupBy("__pid").count().orderBy("__pid").collect()
+        with_pid.groupBy("__pid").count().orderBy("__pid").collect()
     )  # ≤ partitions rows
     offsets, acc = {}, 0
     for r in counts:
@@ -178,8 +216,10 @@ def scalable_surrogate_ids(
     off = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
+    w = Window.partitionBy("__pid").orderBy(order_col)
     return (
-        local.withColumn(id_name, (F.col("__lrn") + off[F.col("__pid")]).cast("int"))
+        with_pid.withColumn("__lrn", F.row_number().over(w))
+        .withColumn(id_name, (F.col("__lrn") + off[F.col("__pid")]).cast("int"))
         .drop("__pid", "__lrn")
     )
 
