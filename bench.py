@@ -744,7 +744,11 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
       transparency.
     """
     want_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
-    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_ROUNDS", "6"))
+    # Runaway backstop only — the wall-clock deadline is the real bound.
+    # (The old default of 6 stopped a contended-window study with 200 s of
+    # budget unused, exactly when extra rounds had the best odds of
+    # catching a clean window.)
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_ROUNDS", "48"))
     pairs: list[dict] = []
 
     def _mark_clean() -> int:
@@ -770,6 +774,7 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                 min(p.get("fault_mbps_lo") or 1e9, p.get("fault_mbps_hi") or 1e9)
                 >= FAULT_OK
             )
+            p["probe_ok"], p["fault_ok"] = probe_ok, fault_ok
             p["clean"] = p["steal_ok"] and probe_ok and fault_ok
         return sum(p["clean"] for p in pairs)
 
@@ -864,7 +869,18 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             break
     _mark_clean()
     full = [p for p in pairs if not p.get("timeout")]
-    use = [p for p in pairs if p["clean"]] or full
+    # Tiered evidence: fully-gated pairs; else pairs clean on steal+DRAM
+    # (only the page-supply gate failed — the least-biased contaminated
+    # tier: fault collapse slows both halves where steal poisons one);
+    # else every completed pair. The tier is REPORTED so a consumer can
+    # weigh the number instead of mistaking a poisoned-window median for
+    # a clean one.
+    tiers = [
+        ("clean", [p for p in pairs if p["clean"]]),
+        ("steal+probe", [p for p in full if p["steal_ok"] and p.get("probe_ok")]),
+        ("all", full),
+    ]
+    tier_name, use = next(((n, t) for n, t in tiers if t), ("none", []))
     if not use:
         return {
             "cores_lo": n_lo, "cores_hi": n_hi, "events": n_events,
@@ -883,6 +899,7 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         "events_per_sec_lo": _median([p["events_per_sec_lo"] for p in use]),
         "events_per_sec_hi": _median([p["events_per_sec_hi"] for p in use]),
         "scaling_efficiency": round(_median([p["efficiency"] for p in use]), 3),
+        "evidence_tier": tier_name,
         "clean_pairs": len([p for p in pairs if p["clean"]]),
         "budget_stop": budget_stop,
         "ambient": ambient,

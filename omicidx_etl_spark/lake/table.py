@@ -146,6 +146,21 @@ class LakeTable:
     def _refs_path(self) -> str:
         return os.path.join(self._meta_dir, "refs.json")
 
+    def _tags_path(self) -> str:
+        return os.path.join(self._meta_dir, "tags.json")
+
+    def _read_tags(self) -> dict[str, int]:
+        if not os.path.exists(self._tags_path()):
+            return {}
+        with open(self._tags_path()) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self._tags_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+
     def _read_refs(self) -> dict[str, int]:
         if not os.path.exists(self._refs_path()):
             return {}
@@ -186,7 +201,7 @@ class LakeTable:
         snap = {
             "snapshot_id": 0,
             "parent_id": None,
-            "table": {"key": key, "n_buckets": n_buckets},
+            "table": {"key": key, "n_buckets": n_buckets, "spec_id": 0},
             "current_schema_id": 0,
             "schemas": {"0": schema.json()},
             # bucket id (str) -> {"base": {"dir": relpath, "schema_id": int} | None,
@@ -283,11 +298,41 @@ class LakeTable:
             refs = self._read_refs()
             if name in refs:
                 raise ValueError(f"branch {name!r} already exists at {refs[name]}")
+            if name in self._read_tags():
+                raise ValueError(f"{name!r} is already a tag")
             sid = self.snapshot()["snapshot_id"] if at is None else at
             self.snapshot_at(sid)  # must exist
             refs[name] = sid
             self._write_refs(refs)
         return sid
+
+    # --------------------------------------------------------- tags (audit)
+    def tags(self) -> dict[str, int]:
+        """Immutable named snapshots: tag name -> snapshot id."""
+        return self._read_tags()
+
+    def create_tag(self, name: str, at: int | None = None) -> int:
+        """Pin snapshot ``at`` (default: current main) under an immutable
+        name — Iceberg tags: release/audit markers that never move and that
+        ``expire_snapshots`` must not reclaim. Unlike a branch, a tag can
+        never receive commits; re-tagging an existing name raises."""
+        with _commit_lock(self._meta_dir):
+            tags = self._read_tags()
+            if name in tags:
+                raise ValueError(f"tag {name!r} already exists at {tags[name]}")
+            if name in self._read_refs():
+                raise ValueError(f"{name!r} is already a branch")
+            sid = int(at if at is not None else self.snapshot()["snapshot_id"])
+            self.snapshot_at(sid)  # must exist
+            tags[name] = sid
+            self._write_tags(tags)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        with _commit_lock(self._meta_dir):
+            tags = self._read_tags()
+            tags.pop(name, None)
+            self._write_tags(tags)
 
     def drop_branch(self, name: str) -> None:
         with _commit_lock(self._meta_dir):
@@ -391,12 +436,18 @@ class LakeTable:
         )
 
     def meta_refs(self) -> DataFrame:
-        """One row per named ref plus main: name, head snapshot id."""
-        refs = dict(self._read_refs())
-        rows = [("main", int(self.snapshot()["snapshot_id"]))] + [
-            (k, int(v)) for k, v in sorted(refs.items())
+        """One row per named ref plus main: name, head snapshot id, type
+        (main | branch | tag — branches move with commits, tags never)."""
+        rows = [("main", int(self.snapshot()["snapshot_id"]), "main")]
+        rows += [
+            (k, int(v), "branch") for k, v in sorted(self._read_refs().items())
         ]
-        return self.spark.createDataFrame(rows, "name string, snapshot_id long")
+        rows += [
+            (k, int(v), "tag") for k, v in sorted(self._read_tags().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, snapshot_id long, type string"
+        )
 
     # ------------------------------------------------------------ properties
     @property
@@ -424,12 +475,14 @@ class LakeTable:
         include_system: bool = False,
         as_of: int | None = None,
         branch: str | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
 
         ``branch`` reads a named ref's head (the audit step of
         write-audit-publish) — same resolution as ``as_of`` at the branch's
-        head snapshot id; mutually exclusive with ``as_of``.
+        head snapshot id; ``tag`` reads an immutable named snapshot.
+        ``as_of``/``branch``/``tag`` are mutually exclusive.
 
         ``as_of`` pins the read to a historical snapshot id (Iceberg
         ``VERSION AS OF`` time travel): the scan resolves that snapshot's
@@ -448,13 +501,18 @@ class LakeTable:
         are filtered out unless requested; system columns (``__seq``,
         ``__deleted``) are dropped unless requested.
         """
+        if sum(x is not None for x in (as_of, branch, tag)) > 1:
+            raise ValueError("as_of, branch and tag are mutually exclusive")
         if branch is not None:
-            if as_of is not None:
-                raise ValueError("branch and as_of are mutually exclusive")
             refs = self._read_refs()
             if branch not in refs:
                 raise KeyError(f"unknown branch {branch!r}")
             as_of = refs[branch]
+        if tag is not None:
+            tags = self._read_tags()
+            if tag not in tags:
+                raise KeyError(f"unknown tag {tag!r}")
+            as_of = tags[tag]
         snap = self.snapshot() if as_of is None else self.snapshot_at(as_of)
         key = snap["table"]["key"]
         cur_phys = _phys(self.current_schema(snap))
@@ -801,6 +859,7 @@ class LakeTable:
             # race just replays the same entry additions on the winner's
             # bucket map (Iceberg fast-append rebase).
             def rebase(cur: dict) -> dict[str, Any]:
+                _check_same_layout(snap, cur, "mor merge")
                 out = {b: _norm_entry(e) for b, e in cur["buckets"].items()}
                 for b, fe in new_entries.items():
                     out[str(b)] = {
@@ -985,6 +1044,53 @@ class LakeTable:
             rebase=_disjoint_rewrite_rebase(snap, todo, out, "compact"),
         )
 
+    def rebucket(self, n_buckets: int) -> dict[str, Any]:
+        """Bucket-layout evolution: re-cluster the whole table into
+        ``n_buckets`` buckets in one atomic snapshot — the maintenance op
+        for a table whose data outgrew (or over-shards under) its
+        create-time spec. One clustered rewrite (single shuffle, same cost
+        shape as a full ``compact``); readers pinned to older snapshots
+        keep the old layout (time travel unaffected), and rewritten rows
+        keep their ``__seq``/tombstones, so the changelog's seq-ceiling
+        prune treats the rewrite like a compaction (no phantom changes).
+
+        Iceberg evolves partition specs lazily (new spec applies only to
+        new files); this engine keeps exactly ONE layout per snapshot so
+        bucket pruning, per-bucket reconciliation and the disjoint-rewrite
+        OCC rules stay single-epoch — the rewrite is that invariant's
+        price, paid once per evolution. Bumping ``spec_id`` makes every
+        in-flight commit that planned placements under the old layout
+        conflict out instead of stranding rows (``_check_same_layout``)."""
+        snap = self.snapshot()
+        nb = int(n_buckets)
+        if nb < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if nb == snap["table"]["n_buckets"]:
+            return snap
+        key = snap["table"]["key"]
+        full = self.read(
+            include_deleted=True, include_system=True,
+            as_of=snap["snapshot_id"],
+        ).withColumn(BUCKET_COL, bucket_expr(key, nb))
+        new_sid = snap["snapshot_id"] + 1
+        rel = self._stage_write(full, new_sid, nb)
+        buckets = _base_only_buckets(
+            rel, nb, snap["current_schema_id"], mk=self._file_entry
+        )
+        return self._commit(
+            snap, new_sid, buckets, None, None,
+            summary={
+                "operation": "rebucket",
+                "from_buckets": snap["table"]["n_buckets"],
+                "n_buckets": nb,
+            },
+            table_meta={
+                **snap["table"],
+                "n_buckets": nb,
+                "spec_id": snap["table"].get("spec_id", 0) + 1,
+            },
+        )
+
     def purge_tombstones(self, before_seq: int) -> dict[str, Any]:
         """Retention: rewrite all buckets dropping tombstones older than
         ``before_seq`` (safe once no event with seq < before_seq can still
@@ -1156,6 +1262,9 @@ class LakeTable:
                     chain = self.snapshot_at(chain).get("parent_id")
                 except FileNotFoundError:
                     break
+        # tags pin only their own snapshot (reads resolve one manifest);
+        # a tag's history stays walkable only while retention keeps it
+        keep_ids.update(self._read_tags().values())
         snaps = self.history()
         keep = [s for s in snaps if s["snapshot_id"] in keep_ids]
         referenced = set()
@@ -1254,6 +1363,7 @@ class LakeTable:
         summary: dict[str, Any],
         rebase: "Callable[[dict], dict[str, Any]] | None" = None,
         ref: str | None = None,
+        table_meta: "dict[str, Any] | None" = None,
     ) -> dict[str, Any]:
         """Optimistic-concurrency commit (Iceberg commit protocol): data
         files are already staged; under the commit lock, validate that the
@@ -1299,7 +1409,7 @@ class LakeTable:
             snap = {
                 "snapshot_id": new_sid,
                 "parent_id": parent["snapshot_id"],
-                "table": parent["table"],
+                "table": table_meta if table_meta is not None else parent["table"],
                 "current_schema_id": parent["current_schema_id"],
                 "schemas": parent["schemas"],
                 "field_ids": parent.get("field_ids"),
@@ -1379,6 +1489,20 @@ def _dir_stats(path: str) -> dict[str, list] | None:
     return out or None
 
 
+def _check_same_layout(parent: dict, cur: dict, op: str) -> None:
+    """A rebase computed bucket placements under ``parent``'s bucket spec;
+    if a concurrent ``rebucket`` changed the layout, those placements are
+    wrong for the new spec — adopting them would strand rows in buckets
+    their key no longer hashes to. Conflict out instead."""
+    if parent["table"].get("spec_id", 0) != cur["table"].get("spec_id", 0):
+        raise CommitConflict(
+            f"bucket layout changed concurrently during {op} "
+            f"(spec {parent['table'].get('spec_id', 0)} -> "
+            f"{cur['table'].get('spec_id', 0)}); retry against the current "
+            "snapshot"
+        )
+
+
 def _disjoint_rewrite_rebase(
     parent: dict, rewritten: list[int], my_buckets: dict[str, Any], op: str
 ) -> "Callable[[dict], dict[str, Any]]":
@@ -1392,6 +1516,7 @@ def _disjoint_rewrite_rebase(
     before = {str(b): _norm_entry(parent["buckets"][str(b)]) for b in rewritten}
 
     def rebase(cur: dict) -> dict[str, Any]:
+        _check_same_layout(parent, cur, op)
         out = {b: _norm_entry(e) for b, e in cur["buckets"].items()}
         for b in rewritten:
             if out[str(b)] != before[str(b)]:

@@ -228,6 +228,52 @@ def w3_changelog_interval(spark, sf_dir):
 
 
 @register(
+    "debezium_replay",
+    """
+    SELECT user_id, event_id,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def debezium_replay(spark, sf_dir):
+    """S6 as a standard binlog envelope: events are ENCODED as Debezium
+    JSON change envelopes (before/after/op/ts_ms/source.lsn — 'error' maps
+    to op 'd' with the image in ``before``), then DECODED back with
+    ``sources.debezium.debezium_changes`` (pure ``from_json`` column
+    expressions, JVM-side) and replayed latest-per-key. The oracle skips
+    the JSON hop entirely, so parity proves the envelope roundtrip is
+    lossless (doubles included) and the op mapping exact."""
+    from pyspark.sql import types as T
+
+    from omicidx_etl_spark.sources.debezium import debezium_changes, to_debezium_json
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "event_type"
+    )
+    feed = to_debezium_json(
+        ev,
+        ["user_id", "event_id", "value"],
+        op=F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u")),
+        lsn=F.col("event_id"),
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded = debezium_changes(feed, row_schema)
+    out = C.replay_table(decoded, ["user_id"], ["seq"], op_col="op", delete_value="D")
+    return out.select(
+        "user_id", "event_id", _cents(F.col("value")).alias("value_cents")
+    )
+
+
+@register(
     "merge_into_clauses",
     """
     WITH tgt AS (

@@ -144,6 +144,48 @@ def test_replay_batch_stages_on_branch_then_publishes(spark, table):
     assert snap["summary"]["skipped"] is True
 
 
+def test_tags_are_immutable_named_snapshots(spark, table):
+    sid = table.snapshot()["snapshot_id"]
+    assert table.create_tag("v1") == sid
+    table.merge(_mk(spark, [("z", 9, 14, "U")]), mode="mor")
+    # the tag still reads the pinned state after later commits
+    assert _state(table, tag="v1") == {"a": 1, "b": 2}
+    assert table.tags() == {"v1": sid}
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_tag("v1")
+    with pytest.raises(KeyError, match="nope"):
+        table.read(tag="nope")
+    # names are one namespace: a tag can't shadow a branch or vice versa
+    table.create_branch("audit2")
+    with pytest.raises(ValueError, match="already a branch"):
+        table.create_tag("audit2")
+    with pytest.raises(ValueError, match="already a tag"):
+        table.create_branch("v1")
+
+
+def test_expire_keeps_tagged_snapshot(spark, table):
+    table.create_tag("rel", at=table.snapshot()["snapshot_id"])
+    for i in range(3):
+        table.merge(_mk(spark, [(f"k{i}", i, 20 + i, "U")]), mode="cow")
+    table.expire_snapshots(keep_last=1)
+    # the tagged snapshot and its data survive aggressive retention
+    assert _state(table, tag="rel") == {"a": 1, "b": 2}
+    table.drop_tag("rel")
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(KeyError):
+        table.read(tag="rel")
+
+
+def test_meta_refs_types(spark, table):
+    table.create_tag("v1")
+    table.merge(_mk(spark, [("c", 3, 12, "U")]), mode="mor", branch="audit")
+    rows = {r["name"]: (r["snapshot_id"], r["type"])
+            for r in table.meta_refs().collect()}
+    assert rows["main"][1] == "main"
+    assert rows["audit"][1] == "branch"
+    assert rows["v1"][1] == "tag"
+
+
 def test_create_branch_pins_time_travel_fork(spark, table):
     fork = table.snapshot()["snapshot_id"]
     table.create_branch("pinned")
