@@ -281,3 +281,41 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    corpus_col: str | None = None,
+    corpus_hashed: bool = False,
+) -> DataFrame:
+    """Survivors of an incoming batch against an already-ingested corpus:
+    keep each incoming document iff (a) its content hash is absent from the
+    corpus and (b) it is the first (min id) holder of that hash within the
+    batch. The incremental counterpart of :func:`exact_duplicates` — the
+    shape every continuously-fed training-data lake needs (dedup the day's
+    crawl against 100 TB of history without re-hashing history).
+
+    Plan: batch side pre-reduces with one map-side-combinable
+    ``groupBy(hash).agg(min(id))`` (intra-batch dedup), then a left-anti
+    join against the corpus's distinct hashes. Both sides shuffle on the
+    hash — the honest exact path at any scale; no broadcast hint because
+    the corpus side is the big one. When the corpus fingerprints live in a
+    :class:`~omicidx_etl_spark.lake.table.LakeTable` keyed by
+    ``content_hash``, the anti join collapses to a bucket-pruned lookup of
+    only the buckets the batch's hashes land in (see
+    ``tests/test_packing_scd2.py``); pass that slice with
+    ``corpus_hashed=True`` — its ``text_col`` already holds fingerprints.
+    """
+    h = F.md5(F.col(text_col))
+    batch = (
+        incoming.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    ccol = F.col(corpus_col or text_col)
+    seen_col = ccol if corpus_hashed else F.md5(ccol)
+    seen = corpus.select(seen_col.alias("content_hash")).distinct()
+    return batch.join(seen, "content_hash", "left_anti").select(id_col, "content_hash")

@@ -476,8 +476,25 @@ class LakeTable:
         as_of: int | None = None,
         branch: str | None = None,
         tag: str | None = None,
+        where: "list[tuple[str, str, Any]] | None" = None,
     ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
+
+        ``where`` is a list of simple predicates ``(col, op, value)`` with
+        op in ``= < <= > >=`` — Iceberg-style scan planning over the
+        manifest's per-file-group column bounds (``_dir_stats``): a bucket
+        is skipped when EVERY file group in it is provably excluded by some
+        predicate, and the full predicate conjunction is still applied to
+        the surviving rows (bounds are a necessary condition only).
+        Bucket granularity, not group granularity, on purpose: dropping one
+        group of a delta-carrying bucket would change latest-``__seq``-wins
+        reconciliation (a pruned base could resurrect an older delta and
+        vice versa) — but if *no version in any group* of the bucket can
+        satisfy the predicate, whichever version wins reconciliation fails
+        it too, so the whole bucket is safe to skip. Groups written under a
+        non-current schema id never prune (their stats carry physical
+        pre-rename names). ``self.last_scan`` records what was read vs
+        skipped for observability/tests.
 
         ``branch`` reads a named ref's head (the audit step of
         write-audit-publish) — same resolution as ``as_of`` at the branch's
@@ -517,6 +534,8 @@ class LakeTable:
         key = snap["table"]["key"]
         cur_phys = _phys(self.current_schema(snap))
         want = set(range(snap["table"]["n_buckets"])) if buckets is None else set(buckets)
+        if where:
+            want = self._prune_where(snap, want, where)
         # A key lives in exactly one bucket, so only buckets that actually
         # carry deltas need the latest-seq-wins aggregation; base-only
         # buckets stream through shuffle-free. At scale (mostly-compacted
@@ -567,11 +586,42 @@ class LakeTable:
             out = clean
         else:
             out = clean.unionByName(dirty)
+        if where:
+            for c, op, v in where:
+                out = out.filter(_PRED_OPS[op](F.col(c), F.lit(v)))
         if not include_deleted:
             out = out.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if not include_system:
             out = out.drop(SEQ_COL, DELETED_COL)
         return out
+
+    def _prune_where(
+        self, snap: dict, want: set[int], where: "list[tuple[str, str, Any]]"
+    ) -> set[int]:
+        """Manifest-bounds scan planning (see ``read``): return the subset
+        of ``want`` whose buckets may contain predicate-satisfying rows,
+        recording the decision in ``self.last_scan``."""
+        for _, op, _ in where:
+            if op not in _PRED_OPS:
+                raise ValueError(f"unsupported predicate op {op!r} (use = < <= > >=)")
+        cur_sid = snap["current_schema_id"]
+        kept: set[int] = set()
+        skipped: list[int] = []
+        for b in want:
+            entry = _norm_entry(snap["buckets"].get(str(b)))
+            groups = ([entry["base"]] if entry["base"] else []) + entry["deltas"]
+            if not groups:
+                continue  # empty bucket: nothing to read either way
+            if all(_group_excluded(g, where, cur_sid) for g in groups):
+                skipped.append(b)
+            else:
+                kept.add(b)
+        self.last_scan = {
+            "where": [list(p) for p in where],
+            "buckets_read": sorted(kept),
+            "buckets_skipped": sorted(skipped),
+        }
+        return kept
 
     def lookup(self, keys: list) -> DataFrame:
         """Point lookup by key(s): bucket-pruned read + key filter.
@@ -1446,6 +1496,47 @@ def _stat_value(v):
         except UnicodeDecodeError:
             return None
     return None
+
+
+_PRED_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _group_excluded(
+    group: dict, where: "list[tuple[str, str, Any]]", cur_sid: int
+) -> bool:
+    """True iff this file group provably contains NO row satisfying the
+    predicate conjunction, judged from its recorded [min, max] bounds.
+    Conservative on every gap: no stats, stats missing the column, a
+    non-current schema id (stats carry physical pre-rename names), or a
+    cross-type comparison all mean "cannot exclude" — pruning may only ever
+    remove provably-dead IO, never rows."""
+    if group.get("schema_id") != cur_sid:
+        return False
+    stats = group.get("stats") or {}
+    for col, op, val in where:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return True
+            if op == "<" and not (lo < val):
+                return True
+            if op == "<=" and not (lo <= val):
+                return True
+            if op == ">" and not (hi > val):
+                return True
+            if op == ">=" and not (hi >= val):
+                return True
+        except TypeError:
+            continue  # incomparable types: never prune on this predicate
+    return False
 
 
 def _dir_stats(path: str) -> dict[str, list] | None:

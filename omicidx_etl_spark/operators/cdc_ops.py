@@ -67,6 +67,39 @@ def replay_table(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    current_flag: str = "is_current",
+    valid_to_prefix: str = "valid_to_",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change feed into version
+    intervals — one row per (key, version) with ``valid_to_*`` columns
+    carrying the NEXT version's order key (exclusive bound; NULL = open /
+    current version) and a ``current_flag`` boolean.
+
+    This is the standard CDC-consumer shape the reference's consolidation
+    discards (``omicidx_etl/sql/010_raw_to_parquet.sql:36-43`` keeps only
+    rn=1 — the *current* row); SCD2 keeps the whole history queryable
+    ("what did this record look like at seq S?").
+
+    ``order_cols`` must be a deterministic total order per key (append a
+    unique id as tie-break). One ``lead`` of a struct over a per-key window
+    — the shuffle is by key, identical to the consolidation shuffle, and
+    per-key history length bounds the window buffer (no global sort, no
+    single-partition stage). At 10^10 events the same plan holds: keys
+    hash-distribute, and a hot key's history streams through one task's
+    sort buffer (spillable).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    nxt = F.lead(F.struct(*[F.col(c) for c in order_cols])).over(w)
+    out = df.withColumn("__nxt", nxt)
+    for c in order_cols:
+        out = out.withColumn(f"{valid_to_prefix}{c}", F.col(f"__nxt.{c}"))
+    return out.withColumn(current_flag, F.col("__nxt").isNull()).drop("__nxt")
+
+
 def incremental_diff(available: DataFrame, done: DataFrame, key: str) -> DataFrame:
     """S7/J4: needed = available − already-done (left-anti join) — the
     reference's incremental work discovery (``omicidx_etl/etl/pubmed.py:52-63``,

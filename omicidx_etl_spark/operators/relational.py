@@ -155,6 +155,48 @@ def surrogate_ids(df: DataFrame, order_col: str, id_name: str = "row_id") -> Dat
     return df.withColumn(id_name, F.row_number().over(w))
 
 
+def range_pid_expr(df: DataFrame, order_col: str, n: int) -> F.Column:
+    """Deterministic range-partition id for ``order_col`` as a pure column
+    expression over boundary LITERALS computed once (``approxQuantile``;
+    seeded driver-side sample for non-numeric keys) — the building block of
+    every order-preserving two-pass operator here (surrogate ids, sequence
+    packing). Baking boundaries into the plan is what makes the partition
+    of a row a pure function of its key across *all* jobs that reuse the
+    expression; ``repartitionByRange`` re-samples per job and can disagree
+    with itself on multi-file input (caught by the sf1 parity sweep).
+    Boundary *balance* affects only performance, never values."""
+    bounds: list = []
+    if n > 1:
+        dtype = dict(df.dtypes)[order_col]
+        numeric = dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or dtype.startswith("decimal")
+        if numeric:
+            qs = [i / n for i in range(1, n)]
+            bounds = df.stat.approxQuantile(order_col, qs, 0.001)
+        else:
+            # seeded sample, split evenly driver-side; worst case the
+            # sample is unrepresentative and partitions skew — values stay
+            # correct because the boundaries are literals either way
+            sample = sorted(
+                r[0]
+                for r in df.select(order_col)
+                .sample(fraction=0.1, seed=7)
+                .limit(n * 1000)
+                .collect()
+                if r[0] is not None
+            )
+            step = max(1, len(sample) // n)
+            bounds = sample[step::step][: n - 1]
+        bounds = sorted(set(bounds))
+    if not bounds:
+        return F.lit(0)
+    pid = F.when(F.col(order_col) <= F.lit(bounds[0]), F.lit(0))
+    for i, b in enumerate(bounds[1:], start=1):
+        pid = pid.when(F.col(order_col) <= F.lit(b), F.lit(i))
+    return pid.otherwise(F.lit(len(bounds)))
+
+
 def scalable_surrogate_ids(
     df: DataFrame, order_col: str, id_name: str = "row_id", partitions: int = 0
 ) -> DataFrame:
@@ -175,36 +217,7 @@ def scalable_surrogate_ids(
     *balance* affects only performance, never values."""
     spark = df.sparkSession
     n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    bounds: list = []
-    if n > 1:
-        dtype = dict(df.dtypes)[order_col]
-        numeric = dtype in (
-            "tinyint", "smallint", "int", "bigint", "float", "double",
-        ) or dtype.startswith("decimal")
-        if numeric:
-            qs = [i / n for i in range(1, n)]
-            bounds = df.stat.approxQuantile(order_col, qs, 0.001)
-        else:
-            # seeded sample, split evenly driver-side; worst case the
-            # sample is unrepresentative and partitions skew — ids stay
-            # correct because the boundaries are literals either way
-            sample = sorted(
-                r[0]
-                for r in df.select(order_col)
-                .sample(fraction=0.1, seed=7)
-                .limit(n * 1000)
-                .collect()
-                if r[0] is not None
-            )
-            step = max(1, len(sample) // n)
-            bounds = sample[step::step][: n - 1]
-        bounds = sorted(set(bounds))
-    pid = F.lit(0)
-    if bounds:
-        pid = F.when(F.col(order_col) <= F.lit(bounds[0]), F.lit(0))
-        for i, b in enumerate(bounds[1:], start=1):
-            pid = pid.when(F.col(order_col) <= F.lit(b), F.lit(i))
-        pid = pid.otherwise(F.lit(len(bounds)))
+    pid = range_pid_expr(df, order_col, n)
     with_pid = df.withColumn("__pid", pid)
     counts = (
         with_pid.groupBy("__pid").count().orderBy("__pid").collect()

@@ -1485,3 +1485,102 @@ def token_normalize(spark, sf_dir):
             "tokens", F.lit(0).cast("long"), lambda acc, t: acc + t
         ).alias("tok_sum"),
     )
+
+
+# =====================================================================
+# SCD2 history, incremental dedup, sequence packing (round 3 additions)
+# =====================================================================
+
+@register(
+    "scd2_history",
+    """
+    SELECT user_id, event_id,
+           CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+           LEAD(event_id)     OVER w AS valid_to_event_id,
+           (LEAD(event_id) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD Type-2 version intervals from the change feed: every event
+    becomes a [valid_from, valid_to) row per user, open interval = current.
+    The history-keeping dual of ``cdc_replay_events`` (the reference keeps
+    only rn=1, ``010_raw_to_parquet.sql:36-43``)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _cents(F.col("value")).alias("value_cents"),
+        F.col("ts"),
+    )
+    out = C.scd2_history(ev, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "value_cents",
+        _ts_us(F.col("ts")).alias("valid_from_us"),
+        _ts_us(F.col("valid_to_ts")).alias("valid_to_us"),
+        F.col("valid_to_event_id"),
+        F.col("is_current"),
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 4 <> 0
+    ),
+    batch AS (
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 4 = 0 GROUP BY 1
+    )
+    SELECT b.doc_id, b.content_hash
+    FROM batch b ANTI JOIN corpus c USING (content_hash)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: the day's batch (doc_id % 4 = 0) against the
+    already-ingested corpus (the rest) — survivors are batch docs whose
+    content hash is new to the corpus and first-by-id within the batch.
+    Anti-join on the hash, no broadcast (the corpus is the big side at
+    100 TB); see functions/dedup.py:incremental_exact_dedup."""
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 4 == 0)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    return D.incremental_exact_dedup(incoming, corpus, "doc_id")
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t)
+    SELECT doc_id, source, n_tok,
+           CAST(cb // 2048 AS BIGINT) AS bin_id,
+           CAST(cb % 2048 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chop training-sequence packing (ctx 2048) over the global
+    doc_id order, via the two-pass distributed prefix sum — no
+    single-partition window (functions/packing.py:scalable_pack_sequences);
+    the oracle is the literal global-window cumsum."""
+    from omicidx_etl_spark.functions.packing import scalable_pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toked = X.token_count(d).select(
+        "doc_id", "source", F.col("n_bpe_tokens").cast("bigint").alias("n_tok")
+    )
+    out = scalable_pack_sequences(toked, "n_tok", "doc_id", ctx_len=2048)
+    return out.select("doc_id", "source", "n_tok", "bin_id", "bin_offset")

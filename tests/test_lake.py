@@ -161,3 +161,74 @@ def test_sorted_compact_clusters_rowgroups(spark, tmp_path):
     # correctness unchanged: lookup still resolves
     one = t.read().select("doc_id").first()["doc_id"]
     assert t.lookup([one]).count() == 1
+
+
+def test_read_where_prunes_by_column_bounds(spark, tmp_path):
+    """read(where=...) = Iceberg scan planning over manifest column bounds:
+    buckets whose every file group is excluded by the bounds are never
+    scanned; surviving rows still pass through the full residual filter."""
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("t", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, key="doc_id", n_buckets=8)
+    # secondary column equal to the row's bucket id -> per-bucket bounds [b, b]
+    rows = spark.range(400).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id")
+    ).withColumn("t", bucket_expr("doc_id", 8))
+    t.overwrite(rows)
+
+    out = t.read(where=[("t", "=", 3)])
+    assert t.last_scan["buckets_read"] == [3]
+    assert len(t.last_scan["buckets_skipped"]) == 7
+    got = out.collect()
+    assert got and all(r.t == 3 for r in got)
+    expect = rows.filter(F.col("t") == 3).count()
+    assert len(got) == expect
+
+    out = t.read(where=[("t", ">=", 6)])
+    assert t.last_scan["buckets_read"] == [6, 7]
+    assert out.count() == rows.filter(F.col("t") >= 6).count()
+
+
+def test_read_where_keeps_dirty_bucket_with_matching_delta(spark, tmp_path):
+    """A delta-carrying bucket is skipped only when EVERY group is excluded
+    (MOR-safe granularity); the residual filter still applies post-merge."""
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("t", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, key="doc_id", n_buckets=4)
+    rows = spark.range(100).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("doc_id")
+    ).withColumn("t", bucket_expr("doc_id", 4))
+    t.overwrite(rows)
+    # update a handful of bucket-2 keys to t=99 via a MOR delta
+    upd = (
+        rows.filter(F.col("t") == 2)
+        .limit(5)
+        .withColumn("t", F.lit(99))
+        .withColumn("seq", F.lit(10).cast("long"))
+        .withColumn("op", F.lit("u"))
+    )
+    t.merge(upd, mode="mor")
+
+    # t=99 exists only in bucket 2's delta: every other bucket prunes away
+    out = t.read(where=[("t", "=", 99)])
+    assert t.last_scan["buckets_read"] == [2]
+    assert out.count() == 5
+
+    # t=2 rows: bucket 2 must still be read (its base matches), and the
+    # 5 updated keys must NOT resurrect their old t=2 version
+    out = t.read(where=[("t", "=", 2)])
+    assert 2 in t.last_scan["buckets_read"]
+    assert out.count() == rows.filter(F.col("t") == 2).count() - 5
+
+    # nothing matches t=50 anywhere: every bucket prunes, zero rows
+    out = t.read(where=[("t", "=", 50)])
+    assert t.last_scan["buckets_read"] == []
+    assert out.count() == 0
