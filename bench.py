@@ -654,6 +654,17 @@ def _pick_pin_base(n_lo: int, n_hi: int) -> int:
     return best_base
 
 
+def _seg_files(n_events: int) -> int:
+    """File count for a scaling-slice change log: ~20k events/segment
+    (the production WAL shape). The fixed 128-file layout made a 250k-event
+    sample read 128 ~2k-event files — per-file scan-task scheduling and
+    footer work became the Amdahl term and the measured 1→4 pair dropped to
+    ~0.73 with every probe clean (r3: 12-file relayout alone moved the same
+    pair to ~0.8 and raised absolute rates 1.7-2×). Segment size must scale
+    with the slice, like a real relay's size-rolled segments."""
+    return max(8, n_events // 20_000)
+
+
 def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
                         mode: str, dedup: str, fanout: bool,
                         pin_base: int, probe_floor: float = 0.0,
@@ -679,6 +690,7 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
         sys.executable, os.path.abspath(__file__), "--replay-only",
         "--master", f"local[{cores}]", "--events", str(n_events),
         "--docs", str(n_docs), "--chunk", str(chunk), "--mode", mode,
+        "--files", str(_seg_files(n_events)),
         "--dedup", dedup, "--pin", "--pin-base", str(pin_base),
         "--probe-floor", str(probe_floor),
         "--drain-timeout", str(drain_t), "--probe-wait", str(probe_w),
@@ -979,10 +991,11 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_EVENTS + a larger SPARK_GRAFT_BENCH_BUDGET.
     s_events = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS",
                                   str(min(n_events, 250_000))))
-    ensure_change_log(spark, s_events, n_docs, args.seed, args.files)
+    ensure_change_log(spark, s_events, n_docs, args.seed, _seg_files(s_events))
     s_fallback = min(s_events, 100_000)
     if s_fallback < s_events:
-        ensure_change_log(spark, s_fallback, n_docs, args.seed, args.files)
+        ensure_change_log(spark, s_fallback, n_docs, args.seed,
+                          _seg_files(s_fallback))
     spark.stop()
 
     scaling = None

@@ -100,6 +100,8 @@ def stream_replay(
     quarantine: bool = True,
     validate: Callable[[DataFrame], None] | None = None,
     compact_deltas_over: int | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    source_format: str = "parquet",
 ) -> list[dict[str, Any]]:
     """Run an availableNow streaming replay of the change-log directory.
 
@@ -119,6 +121,14 @@ def stream_replay(
     validation hook). Pass ``schema`` explicitly when the log may contain
     unreadable files (inference would trip on the corrupt footer).
 
+    ``transform`` maps each raw micro-batch to the engine's change shape
+    before validation/merge — e.g. ``lambda df: debezium_changes(df,
+    row_schema)`` to tail a Debezium envelope feed directly (binlog/WAL
+    relay → lake, no intermediate landing; pair with
+    ``source_format="text"`` for raw JSON-line envelope files). A transform
+    failure is data-shaped by definition and routes the batch to quarantine
+    like any other merge error.
+
     Self-maintaining MOR (``mode="mor"``): ``compact_deltas_over=k`` folds
     deltas into the base whenever any bucket's delta chain exceeds k
     commits, so read-side reconciliation cost stays bounded without a
@@ -129,16 +139,18 @@ def stream_replay(
     quarantined batches included, flagged by ``operation``/``quarantined``).
     """
     if schema is None:
-        schema = spark.read.parquet(log_path).schema
+        schema = spark.read.format(source_format).load(log_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    src = reader.parquet(log_path)
+    src = reader.format(source_format).load(log_path)
 
     committed: list[dict[str, Any]] = []
 
     def apply_batch(batch_df, batch_id: int) -> None:
         try:
+            if transform is not None:
+                batch_df = transform(batch_df)
             if validate is not None:
                 validate(batch_df)
             snap = replay_batch(

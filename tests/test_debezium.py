@@ -119,3 +119,47 @@ def test_feed_to_lake_table_end_to_end(spark, tmp_path):
     assert {
         (r["doc_id"], r["n_tok"]) for r in t.read().collect()
     } == {("a", 2)}
+
+
+def test_stream_replay_tails_envelope_feed(spark, tmp_path):
+    """End-to-end streaming tail of a Debezium envelope feed: readStream
+    over raw JSON-line envelopes, per-micro-batch ``transform`` decodes to
+    the change contract, merge applies last-LSN-wins. The binlog→lake path
+    with no intermediate landing table."""
+    import json
+    import os
+
+    from omicidx_etl_spark.lake import LakeTable
+    from omicidx_etl_spark.streaming import stream_replay
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # two files => two availableNow micro-batches with maxFilesPerTrigger=1
+    f1 = [
+        {"after": {"doc_id": "a", "n_tok": 1}, "op": "c", "ts_ms": 1, "source": {"lsn": 1}},
+        {"after": {"doc_id": "b", "n_tok": 2}, "op": "c", "ts_ms": 2, "source": {"lsn": 2}},
+    ]
+    f2 = [
+        {"after": {"doc_id": "a", "n_tok": 7}, "op": "u", "ts_ms": 3, "source": {"lsn": 3}},
+        {"before": {"doc_id": "b", "n_tok": 2}, "after": None, "op": "d", "ts_ms": 4, "source": {"lsn": 4}},
+        {"after": {"doc_id": "c", "n_tok": 5}, "op": "r", "ts_ms": 5, "source": {"lsn": 5}},
+    ]
+    for name, rows in (("000.json", f1), ("001.json", f2)):
+        with open(feed / name, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), ROW, key="doc_id", n_buckets=4)
+    snaps = stream_replay(
+        spark,
+        t,
+        str(feed),
+        str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        schema=T.StructType([T.StructField("value", T.StringType())]),
+        source_format="text",
+        transform=lambda df: debezium_changes(df, ROW),
+        mode="mor",
+    )
+    assert len(snaps) == 2
+    state = {r.doc_id: r.n_tok for r in t.read().collect()}
+    assert state == {"a": 7, "c": 5}  # b deleted, a updated at lsn 3

@@ -219,3 +219,35 @@ def test_ivf_index_prunes_at_rest(spark, tmp_path):
         e, [1.0] * dims, dims=dims, n_centroids=8, nprobe=2
     ).collect()
     assert got == want
+
+
+def test_pack_sequences_no_single_partition_stage(spark):
+    """The scalable packing path must never collapse to one partition: the
+    window partitions by the range pid and the only exchanges are hash /
+    range repartitions (a SinglePartition exchange = a global-window plan,
+    which dies at 100 TB)."""
+    plan = _plan(spark, "pack_sequences")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # per-pid cumsum is still a window
+
+
+def test_incremental_dedup_anti_join_shape(spark):
+    """dedup_incremental: intra-batch reduce must be a partial-aggregatable
+    hash aggregate and the corpus check a LEFT ANTI join. No broadcast HINT
+    anywhere — at 100 TB the corpus side is the big one and AQE must stay
+    free to choose (at sf0.001 it may still broadcast; that's fine)."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "LeftAnti" in plan
+    assert "partial_min" in plan or "partial" in plan
+    from omicidx_etl_spark import queries as _Q
+
+    df = _Q._REGISTRY["dedup_incremental"][0](spark, SF_SMALL)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_scd2_windows_by_key_only(spark):
+    """SCD2's lead() must window per key — a global-order window would
+    single-partition the whole feed."""
+    plan = _plan(spark, "scd2_history")
+    assert "Exchange SinglePartition" not in plan
