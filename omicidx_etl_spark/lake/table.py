@@ -1285,7 +1285,9 @@ class LakeTable:
             self._write_snapshot(new)
 
     # -------------------------------------------------------------- retention
-    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> list[str]:
         """Drop old snapshot files and delete data dirs no retained snapshot
         references. Returns deleted data-dir relpaths.
 
@@ -1293,7 +1295,16 @@ class LakeTable:
         the last N ids — branch commits interleave ids, and "newest N files"
         could otherwise expire main's own current snapshot), plus every live
         branch head and its chain back to a retained snapshot (``publish``
-        must be able to walk head → main to prove fast-forward ancestry)."""
+        must be able to walk head → main to prove fast-forward ancestry).
+
+        Two deletion classes (Iceberg expire_snapshots + remove_orphan_files):
+        dirs referenced only by snapshots being expired delete immediately
+        (deliberate expiry); dirs referenced by NO snapshot at all — a
+        crashed writer's staging, an OCC loser's files — delete only when
+        older than ``orphan_grace_s``, because an identical-looking dir is
+        what a CONCURRENT in-flight commit is writing right now (files land
+        outside the commit lock on purpose). Pass 0 to sweep everything in
+        tests/offline maintenance."""
         keep_ids: set[int] = set()
         sid: int | None = self.snapshot()["snapshot_id"]
         for _ in range(max(keep_last, 1)):
@@ -1323,6 +1334,16 @@ class LakeTable:
                 entry = _norm_entry(raw)
                 for fe in ([entry["base"]] if entry["base"] else []) + entry["deltas"]:
                     referenced.add(fe["dir"])
+        # every dir ANY historical snapshot references — computed before the
+        # metadata removal below, to distinguish "expired" from "never
+        # committed" (the latter may be a concurrent writer's in-flight
+        # staging and gets the grace period)
+        referenced_any = set(referenced)
+        for s in snaps:
+            for raw in s["buckets"].values():
+                entry = _norm_entry(raw)
+                for fe in ([entry["base"]] if entry["base"] else []) + entry["deltas"]:
+                    referenced_any.add(fe["dir"])
         deleted = []
         # snapshot metadata
         for s in snaps:
@@ -1331,13 +1352,26 @@ class LakeTable:
                 if os.path.exists(p):
                     os.remove(p)
         # orphan data dirs (two-pass like catalog.py:212-275, but manifest-driven)
+        now = time.time()
         if os.path.isdir(self._data_dir):
             for snapdir in os.listdir(self._data_dir):
                 for bdir in os.listdir(os.path.join(self._data_dir, snapdir)):
                     rel = os.path.join("data", snapdir, bdir)
-                    if rel not in referenced:
-                        shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
-                        deleted.append(rel)
+                    if rel in referenced:
+                        continue
+                    full = os.path.join(self.root, rel)
+                    if rel not in referenced_any:
+                        try:
+                            mt = max(
+                                [os.path.getmtime(full)]
+                                + [e.stat().st_mtime for e in os.scandir(full)]
+                            )
+                        except OSError:
+                            continue  # racing a writer creating it right now
+                        if now - mt < orphan_grace_s:
+                            continue  # possibly in-flight: let it age first
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(rel)
             for snapdir in os.listdir(self._data_dir):
                 full = os.path.join(self._data_dir, snapdir)
                 if not os.listdir(full):

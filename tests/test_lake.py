@@ -232,3 +232,32 @@ def test_read_where_keeps_dirty_bucket_with_matching_delta(spark, tmp_path):
     out = t.read(where=[("t", "=", 50)])
     assert t.last_scan["buckets_read"] == []
     assert out.count() == 0
+
+
+def test_expire_grace_protects_inflight_staging(spark, tmp_path):
+    """A dir no snapshot references may be a CONCURRENT writer's in-flight
+    staging (files land outside the commit lock): expire_snapshots must
+    leave fresh never-referenced dirs alone until they age past the grace,
+    while dirs referenced only by expired snapshots delete immediately."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2)
+    t.overwrite(datagen.gen_sequences(spark, 50, seed=1))
+    t.overwrite(datagen.gen_sequences(spark, 50, seed=2))  # snap 1's dirs expire
+
+    # simulate a crashed/in-flight writer: staged files, no commit
+    stage = tmp_path / "t" / "data" / "snap-000000099-deadbeef" / "__bucket=0"
+    stage.mkdir(parents=True)
+    (stage / "part-0.zstd.parquet").write_bytes(b"x" * 64)
+
+    deleted = t.expire_snapshots(keep_last=1)  # default grace: 1h
+    rel = os.path.join("data", "snap-000000099-deadbeef", "__bucket=0")
+    assert rel not in deleted and stage.exists()  # fresh orphan survives
+    assert any("snap-000000001" in d for d in deleted)  # expiry still works
+
+    # aged past the grace -> swept
+    old = 7200
+    os.utime(stage, (os.path.getmtime(stage) - old, os.path.getmtime(stage) - old))
+    os.utime(stage / "part-0.zstd.parquet",
+             (os.path.getmtime(stage) - old, os.path.getmtime(stage) - old))
+    deleted = t.expire_snapshots(keep_last=1)
+    assert rel in deleted and not stage.exists()
+    assert t.read().count() == 50  # table unharmed throughout
