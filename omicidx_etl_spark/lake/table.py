@@ -1050,7 +1050,11 @@ class LakeTable:
         )
 
     def compact(
-        self, buckets: list[int] | None = None, sort_by_key: bool = False
+        self,
+        buckets: list[int] | None = None,
+        sort_by_key: bool = False,
+        tasks_per_bucket: int = 1,
+        target_records_per_file: int | None = None,
     ) -> dict[str, Any]:
         """Fold merge-on-read delta files into the base (Iceberg
         ``rewrite_data_files``). Rewrites only buckets that carry deltas
@@ -1065,7 +1069,14 @@ class LakeTable:
         predicate of ``lookup`` skips row groups inside the bucket — point
         reads cost O(row group), not O(bucket). Sort cost is local to each
         bucket task (no extra shuffle: the data is already clustered
-        per-bucket for the write)."""
+        per-bucket for the write).
+
+        ``tasks_per_bucket``/``target_records_per_file``: parallelize one
+        bucket's rewrite across k tasks and bound output file sizes
+        (Iceberg binpack) — see ``_stage_write``. With slicing, key order
+        holds within each file (row-group stats stay tight) but the bucket
+        dir holds k overlapping key ranges; lookups still push the key
+        predicate per file."""
         snap = self.snapshot()
         nb = snap["table"]["n_buckets"]
         todo = [
@@ -1080,7 +1091,11 @@ class LakeTable:
             buckets=todo, include_deleted=True, include_system=True
         ).withColumn(BUCKET_COL, bucket_expr(snap["table"]["key"], nb))
         new_sid = snap["snapshot_id"] + 1
-        rel = self._stage_write(merged, new_sid, nb, sort_by_key=sort_by_key)
+        rel = self._stage_write(
+            merged, new_sid, nb, sort_by_key=sort_by_key,
+            tasks_per_bucket=tasks_per_bucket,
+            target_records_per_file=target_records_per_file,
+        )
         out = {b: _norm_entry(e) for b, e in snap["buckets"].items()}
         for b in todo:
             d = rel.get(b)
@@ -1386,6 +1401,8 @@ class LakeTable:
         nb: int,
         shuffle: bool = True,
         sort_by_key: bool = False,
+        tasks_per_bucket: int = 1,
+        target_records_per_file: int | None = None,
     ) -> dict[int, str]:
         """Write df (must carry BUCKET_COL) under data/snap-{sid}/ partitioned
         by bucket; returns {bucket: relpath} for buckets that produced files.
@@ -1396,6 +1413,16 @@ class LakeTable:
         for zero shuffle — right for high-rate delta appends, wrong for
         bases (compaction always uses shuffle=True). ``sort_by_key`` adds a
         task-local key sort (tight row-group stats for point lookups).
+
+        ``tasks_per_bucket > 1`` splits each bucket's rewrite across k tasks
+        (a deterministic key-hash slice inside the bucket): at 100 TB a hot
+        bucket's base is tens of GB and one task per bucket makes the
+        compaction wall equal to the largest bucket — slicing restores
+        width-proportional rewrites at the cost of k files per bucket dir
+        (the manifest tracks dirs, so reads are unchanged).
+        ``target_records_per_file`` bounds file size within a task
+        (``maxRecordsPerFile`` — Iceberg's binpack target), independent of
+        slicing.
 
         The dir carries a per-attempt suffix: concurrent writers both plan
         the same next sid, and optimistic concurrency stages WITHOUT
@@ -1408,18 +1435,26 @@ class LakeTable:
         # One shuffle partition per bucket (not spark.sql.shuffle.partitions):
         # write tasks then align 1:1 with buckets, so task sizes are as even
         # as the bucket hash and no core waits on a multi-bucket straggler.
-        out_df = df.repartition(nb, F.col(BUCKET_COL)) if shuffle else df
+        if shuffle and tasks_per_bucket > 1:
+            slice_col = F.pmod(F.xxhash64(F.col(self.key), F.lit(7)),
+                               F.lit(tasks_per_bucket))
+            out_df = df.repartition(
+                nb * tasks_per_bucket, F.col(BUCKET_COL), slice_col
+            )
+        elif shuffle:
+            out_df = df.repartition(nb, F.col(BUCKET_COL))
+        else:
+            out_df = df
         if sort_by_key:
             # Leading BUCKET_COL matters: the dynamic-partition writer
             # requires ordering by the partition column and would insert its
             # own (key-order-destroying) sort unless the child's ordering
             # already satisfies it.
             out_df = out_df.sortWithinPartitions(BUCKET_COL, self.key)
-        (
-            out_df.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(stage)
-        )
+        writer = out_df.write.mode("overwrite")
+        if target_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(target_records_per_file))
+        writer.partitionBy(BUCKET_COL).parquet(stage)
         out: dict[int, str] = {}
         if os.path.isdir(stage):
             for name in os.listdir(stage):

@@ -173,3 +173,41 @@ def test_mor_bucket_pruned_read(spark, change_log, tmp_path):
     full = t.read().count()
     per_bucket = sum(t.read(buckets=[b]).count() for b in range(8))
     assert per_bucket == full
+
+
+def test_compact_sliced_and_size_bounded(spark, tmp_path):
+    """compact(tasks_per_bucket=k, target_records_per_file=n): a bucket's
+    rewrite spreads over k tasks and files stay under n records, while
+    read/lookup results and manifest stats are unchanged."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from omicidx_etl_spark import datagen
+    from omicidx_etl_spark.cdc import dedup_latest
+    from omicidx_etl_spark.lake import LakeTable
+    from tests.test_lake import SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2)
+    t.overwrite(datagen.gen_sequences(spark, 600, seed=31))
+    t.merge(dedup_latest(datagen.gen_changes(spark, 400, 600, seed=32)), mode="mor")
+    before = {r.doc_id: r.n_tok for r in t.read().collect()}
+
+    t.compact(tasks_per_bucket=3, sort_by_key=True, target_records_per_file=80)
+    snap = t.snapshot()
+    for entry in snap["buckets"].values():
+        assert entry["deltas"] == []
+        base = entry["base"]
+        files = _glob.glob(os.path.join(str(tmp_path / "t"), base["dir"], "*.parquet"))
+        assert len(files) >= 2  # sliced: multiple files per bucket dir
+        for f in files:
+            pf = pq.ParquetFile(f)
+            assert pf.metadata.num_rows <= 80  # binpack target respected
+            keys = pf.read(columns=["doc_id"])["doc_id"].to_pylist()
+            assert keys == sorted(keys)  # in-file key order kept
+        assert base["stats"] and "doc_id" in base["stats"]  # bounds recorded
+    after = {r.doc_id: r.n_tok for r in t.read().collect()}
+    assert after == before
+    one = next(iter(before))
+    assert t.lookup([one]).count() == 1
