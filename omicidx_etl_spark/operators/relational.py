@@ -291,3 +291,67 @@ def flatten_map_column(
         ),
     )
     return df.withColumn(out, flat)
+
+
+# ----------------------------------------------------------- interval joins
+def banded_interval_self_join(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col,
+    id_col: str,
+    radius_us: int,
+) -> DataFrame:
+    """Range (interval) self-join: for each row, count OTHER rows of the
+    same ``key_col`` whose timestamp lies within ``±radius_us``.
+
+    The declarative form is a non-equi theta join (``|a.ts - b.ts| <= r``),
+    which Spark can only execute as a nested-loop per key — quadratic in the
+    hottest key and a scale killer. This operator *bands* time into buckets
+    of width ``radius_us`` and turns the theta join into an equi join:
+
+      * probe side: each row explodes to 3 candidate buckets (b-1, b, b+1),
+      * build side: each row sits in exactly its own bucket (so no pair is
+        double-counted),
+      * join on ``(key, bucket)`` — a plain shuffled/AQE-skew-splittable
+        hash join — then the exact ``|Δts| <= r`` predicate filters the
+        3-bucket candidate superset.
+
+    Cost is O(candidates-within-±2r), never O(per-key²); the 3× probe-side
+    explosion happens on narrow (key, bucket, ts, id) rows only. Same
+    banding idea the dedup family uses for LSH buckets (functions/dedup.py).
+    Reference analogue: the reference's per-record loop correlates nearby
+    records per accession stream (omicidx_etl/geo/extract.py:296-312) —
+    here as one distributed plan.
+
+    Returns ``df`` + ``n_close`` (BIGINT, 0 when no neighbor).
+    """
+    ts = ts_us_col if not isinstance(ts_us_col, str) else F.col(ts_us_col)
+    narrow = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).alias("__id"),
+        ts.cast("long").alias("__us"),
+    )
+    bucket = (F.col("__us") / F.lit(radius_us)).cast("long")
+    probe = narrow.withColumn(
+        "__b", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    )
+    build = narrow.select(
+        F.col("__k").alias("__bk"),
+        F.col("__id").alias("__bid"),
+        F.col("__us").alias("__bus"),
+        (F.col("__us") / F.lit(radius_us)).cast("long").alias("__bb"),
+    )
+    pairs = probe.join(
+        build,
+        (F.col("__k") == F.col("__bk"))
+        & (F.col("__b") == F.col("__bb"))
+        & (F.col("__id") != F.col("__bid"))
+        & (F.abs(F.col("__us") - F.col("__bus")) <= F.lit(radius_us)),
+        "inner",
+    )
+    counts = pairs.groupBy("__id").agg(F.count("*").alias("n_close"))
+    return (
+        df.join(counts, df[id_col] == counts["__id"], "left")
+        .drop("__id")
+        .withColumn("n_close", F.coalesce(F.col("n_close"), F.lit(0)))
+    )

@@ -1584,3 +1584,159 @@ def pack_sequences(spark, sf_dir):
     )
     out = scalable_pack_sequences(toked, "n_tok", "doc_id", ctx_len=2048)
     return out.select("doc_id", "source", "n_tok", "bin_id", "bin_offset")
+
+
+# =====================================================================
+# Round-3 widening: rollup / pivot / unpivot / exact percentile /
+# banded range join (SURVEY §2.4, §2.6, §2.8 extensions)
+# =====================================================================
+@register(
+    "agg_rollup_census",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_census(spark, sf_dir):
+    """Hierarchical subtotal census via ROLLUP + grouping_id — the A2
+    census family (``omicidx_etl/build_db.py:120-131``) generalized to
+    subtotals. One shuffle; Spark expands grouping sets map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
+    )
+
+
+@register(
+    "pivot_status_cents",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS cents_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS cents_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS cents_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_cents(spark, sf_dir):
+    """Wide pivot (status → columns) as conditional aggregation. Spark's
+    ``.pivot(col, values)`` compiles to TWO aggregate/exchange stages
+    (inner sum by (group, pivot) then ``pivotfirst`` by group); with the
+    value list known, ``sum(when(status = v, x))`` is the plan you want at
+    scale — one partial+final hash aggregate, one exchange."""
+    o = _t(spark, sf_dir, "orders")
+
+    def _slot(v: str):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == v, _cents(F.col("o_totalprice")))
+        ).alias(f"cents_{v}")
+
+    return o.groupBy("o_orderpriority").agg(_slot("F"), _slot("O"), _slot("P"))
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'price' AS measure,
+           CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax',
+           CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Long-form melt of the money measures (``unpivot``/``stack`` — pure
+    narrow projection, zero shuffles; the row-triplication happens inside
+    the scan's whole-stage-codegen span)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _cents(F.col("l_extendedprice")).alias("price"),
+        _cents(F.col("l_discount")).alias("discount"),
+        _cents(F.col("l_tax")).alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "measure",
+        "cents",
+    )
+
+
+@register(
+    "percentile_by_type",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(FLOOR(quantile_cont(cents, 0.5) + 0.5) AS BIGINT) AS p50_cents,
+           CAST(FLOOR(quantile_cont(cents, 0.95) + 0.5) AS BIGINT) AS p95_cents
+    FROM (SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def percentile_by_type(spark, sf_dir):
+    """Exact interpolated percentiles per group (``F.percentile``, exact
+    sort-based agg — both engines use linear interpolation over the same
+    integer-cents input, so the whole-cent rounding is engine-stable).
+    Scale path: swap to ``approx_percentile`` (t-digest, combinable) when
+    per-group row counts exceed the agg buffer; exact here because the
+    oracle must hash-match."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.floor(F.percentile("cents", 0.5) + F.lit(0.5))
+        .cast("long")
+        .alias("p50_cents"),
+        F.floor(F.percentile("cents", 0.95) + F.lit(0.5))
+        .cast("long")
+        .alias("p95_cents"),
+    )
+
+
+@register(
+    "range_join_neighbors",
+    """
+    SELECT a.event_id, a.user_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_close
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def range_join_neighbors(spark, sf_dir):
+    """±10-minute same-user neighbor counts via the banded interval
+    self-join (operators/relational.py:banded_interval_self_join): theta
+    join rewritten as an equi join on (key, time-bucket) so it shuffles
+    instead of nested-looping — the oracle is the literal theta join."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = R.banded_interval_self_join(
+        ev.withColumn("__ts_us", _ts_us(F.col("ts"))),
+        "user_id",
+        "__ts_us",
+        "event_id",
+        600_000_000,
+    )
+    return out.select("event_id", "user_id", "n_close")

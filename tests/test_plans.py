@@ -251,3 +251,41 @@ def test_scd2_windows_by_key_only(spark):
     single-partition the whole feed."""
     plan = _plan(spark, "scd2_history")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_range_join_is_banded_equi_join(spark):
+    """range_join_neighbors: the ±10-min theta join must execute as an
+    equi hash/sort-merge join on (key, bucket) — a BroadcastNestedLoopJoin
+    or CartesianProduct is the quadratic plan the banding exists to avoid
+    (operators/relational.py:banded_interval_self_join)."""
+    plan = _plan(spark, "range_join_neighbors")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_pivot_single_aggregate_no_values_job(spark):
+    """pivot_status_cents passes an explicit value list, so the plan is
+    one partial+final hash-aggregate pair — no extra distinct-values
+    collect job and no second exchange."""
+    plan = _plan(spark, "pivot_status_cents")
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_unpivot_no_shuffle(spark):
+    """unpivot_measures is a pure narrow expansion: zero exchanges; the
+    triplication runs inside the scan's codegen span."""
+    plan = _plan(spark, "unpivot_measures")
+    assert "Exchange" not in plan, plan
+
+
+def test_rollup_partial_aggregation(spark):
+    """agg_rollup_census: the grouping-set expansion must still combine
+    map-side (partial before the exchange) — subtotals are no excuse to
+    ship raw rows."""
+    plan = _plan(spark, "agg_rollup_census")
+    assert re.search(r"partial_(sum|count)", plan), plan
+    assert plan.count("Exchange") == 1, plan
