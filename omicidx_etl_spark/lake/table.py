@@ -693,6 +693,14 @@ class LakeTable:
                     f"snapshot {s['snapshot_id']} removed tombstones inside "
                     "the interval; purge only below consumers' watermarks"
                 )
+            if summ.get("operation") == "rollback":
+                raise ValueError(
+                    f"changes({from_sid}, {to_snap['snapshot_id']}) crosses a "
+                    f"rollback at snapshot {s['snapshot_id']} (to "
+                    f"{summ.get('rolled_back_to')}): events committed then "
+                    "un-happened inside the interval cannot be netted — "
+                    "restart the consumer from the rollback commit"
+                )
         key = to_snap["table"]["key"]
         cur_phys = _phys(self.current_schema(to_snap))
 
@@ -1172,6 +1180,91 @@ class LakeTable:
         return self._commit(
             snap, new_sid, buckets, None, None,
             summary={"operation": "purge_tombstones", "before_seq": before_seq},
+        )
+
+    def delete_where(
+        self,
+        where: list[tuple[str, str, Any]],
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        mode: str = "mor",
+    ) -> dict[str, Any]:
+        """Row-level predicate delete — Iceberg ``DELETE FROM t WHERE …``.
+
+        Plans like a read: the predicate triples go through the manifest's
+        per-file-group column bounds (``_prune_where``), so only buckets
+        that can possibly match are scanned to find the doomed keys; the
+        keys then flow through ``merge`` as tombstone events at
+        ``seq_ceiling + 1`` — one seq above every event the table has ever
+        seen, so the delete supersedes all stored versions while later
+        genuine change events (with higher seqs) can still re-insert the
+        key. ``mode="mor"`` lands the tombstones as an O(matching-keys)
+        delta append; ``mode="cow"`` rewrites the touched buckets.
+
+        Single-logical-writer contract for the seq choice: a *concurrent*
+        upsert committing at the same ``seq_ceiling + 1`` would tie with
+        the delete (the OCC rebase keeps both commits, but which row wins
+        the tie is undefined). Reference analogue: the superseded-record
+        cleanup loop (``omicidx_etl/sra/catalog.py:212-275``) expressed as
+        one declarative change set.
+        """
+        snap = self.snapshot()
+        key = snap["table"]["key"]
+        seq = snap.get("seq_ceiling", -1) + 1
+        doomed = self.read(where=where).select(key)
+        ch = doomed.withColumn("op", F.lit("D")).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+        return self.merge(
+            ch,
+            app_id=app_id,
+            batch_id=batch_id,
+            mode=mode,
+            extra_summary={"delete_where": [list(w) for w in where]},
+        )
+
+    def rollback(self, to_sid: int) -> dict[str, Any]:
+        """Roll main back to a previous snapshot — Iceberg
+        ``rollback_to_snapshot``: a NEW commit whose bucket manifest is the
+        target snapshot's, so history is never rewritten (the bad commits
+        stay inspectable via ``history()``/``read(as_of=)``) and
+        time-travel/branch refs stay valid. The target must be an ancestor
+        of the current main head (rolling back to another branch's commit
+        would silently adopt its data — use ``publish`` for that).
+
+        Schema metadata is NOT rolled back (Iceberg semantics: rollback
+        moves the data pointer only): the restored data dirs re-map to the
+        current schema through field ids like any other old files.
+
+        ``changes()`` intervals that cross a rollback raise — the interval
+        would net events that the rollback then un-happened (same lossiness
+        class as ``purge_tombstones``, detected the same way).
+        """
+        snap = self.snapshot()
+        target = self.snapshot_at(to_sid)
+        sid, seen = snap["snapshot_id"], False
+        walk = snap
+        while True:
+            if walk["snapshot_id"] == to_sid:
+                seen = True
+                break
+            parent = walk.get("parent_id")
+            if parent is None or parent < 0 or parent == walk["snapshot_id"]:
+                break
+            walk = self.snapshot_at(parent)
+        if not seen:
+            raise ValueError(
+                f"snapshot {to_sid} is not an ancestor of main head {sid}; "
+                "rollback only walks main's own history"
+            )
+        buckets = {b: _norm_entry(e) for b, e in target["buckets"].items()}
+        return self._commit(
+            snap, snap["snapshot_id"] + 1, buckets, None, None,
+            summary={
+                "operation": "rollback",
+                "rolled_back_to": to_sid,
+                "rolled_back_from": sid,
+            },
         )
 
     # -------------------------------------------------------- schema evolution
