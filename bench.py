@@ -478,9 +478,18 @@ def _spark(master: str, cores: int, cap_jvm_cpus: bool = False):
     if cap_jvm_cpus:
         # Emulated N-core node: the JVM must size GC/JIT/common pools for N
         # cpus even though it LAUNCHES unpinned (startup + warmup run wide;
-        # only the timed run is pinned — see replay_only).
+        # only the timed run is pinned — see replay_only). -Xms floor +
+        # AlwaysPreTouch pre-faults the heap the replay will live in DURING
+        # STARTUP (untimed): in page-supply-degraded windows (host hands
+        # out fresh pages at 100-400 MB/s) lazy heap growth otherwise
+        # faults INSIDE the timed run — and the 4-core half, faulting 4x
+        # faster than the supply, eats the bias, which reads as fake
+        # sub-linear scaling. 2g covers the timed slice's live set without
+        # wasting scarce pages on the full 8g ceiling.
+        pretouch = os.environ.get("SPARK_GRAFT_SCALE_XMS", "2g")
         conf["spark.driver.extraJavaOptions"] = (
-            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}"
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores} "
+            f"-Xms{pretouch} -XX:+AlwaysPreTouch"
         )
     return get_spark("bench", master=master, shuffle_partitions=cores,
                      extra_conf=conf)
@@ -685,7 +694,7 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
     # 150 s fixed: JVM startup + log-cache check + warmup replay batch
     timeout = int(min(150 + drain_t + probe_w + work, budget_s))
     if timeout < 60 + work:
-        return None  # not enough budget left for a trustworthy sample
+        return "NO_BUDGET"  # distinct from a timed-out sample: caller stops
     cmd = [
         sys.executable, os.path.abspath(__file__), "--replay-only",
         "--master", f"local[{cores}]", "--events", str(n_events),
@@ -830,16 +839,28 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             break
         floor = PROBE_OK * best_probe
         base = _pick_pin_base(n_lo, n_hi)
-        hi_reserve = (2 * n_events) // (4000 * n_hi) + 160
-        lo = _one_scaling_sample(n_lo, n_events, n_docs, chunk, mode, dedup,
-                                 fanout, pin_base=base, probe_floor=floor,
-                                 budget_s=remaining - hi_reserve)
-        hi = None
-        if lo is not None:
+        # ABBA ordering: alternate which half runs first each round. A
+        # monotone host-drift window (page supply recovering, neighbor
+        # ramping up) biases every (lo, hi) pair the same direction; with
+        # alternating order the drift bias flips sign pair-to-pair and the
+        # median over >=3 pairs cancels it instead of inheriting it.
+        first_cores, second_cores = (n_lo, n_hi) if rnd % 2 == 0 else (n_hi, n_lo)
+        second_reserve = (2 * n_events) // (4000 * second_cores) + 160
+        first = _one_scaling_sample(first_cores, n_events, n_docs, chunk,
+                                    mode, dedup, fanout, pin_base=base,
+                                    probe_floor=floor,
+                                    budget_s=remaining - second_reserve)
+        second = None
+        if first is not None and first != "NO_BUDGET":
             remaining = (deadline - time.time()) if deadline else 1e9
-            hi = _one_scaling_sample(n_hi, n_events, n_docs, chunk, mode,
-                                     dedup, fanout, pin_base=base,
-                                     probe_floor=floor, budget_s=remaining)
+            second = _one_scaling_sample(second_cores, n_events, n_docs,
+                                         chunk, mode, dedup, fanout,
+                                         pin_base=base, probe_floor=floor,
+                                         budget_s=remaining)
+        if "NO_BUDGET" in (first, second):
+            budget_stop = True
+            break
+        lo, hi = (first, second) if rnd % 2 == 0 else (second, first)
         if lo is None or hi is None:
             if deadline and deadline - time.time() < pair_floor:
                 pairs.append({"round": rnd, "pin_base": base, "timeout": True,
@@ -865,6 +886,7 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             "round": rnd,
             "events": n_events,
             "pin_base": base,
+            "order": "lo-hi" if rnd % 2 == 0 else "hi-lo",
             "events_per_sec_lo": lo["events_per_sec"],
             "events_per_sec_hi": hi["events_per_sec"],
             "efficiency": round(eff, 3),

@@ -49,9 +49,58 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from omicidx_etl_spark.lake.table import LakeTable
+from omicidx_etl_spark.lake.table import _WIDEN_OK, LakeTable
 
 DEFAULT_SALT = 16
+
+
+def evolve_to_batch_schema(
+    table: LakeTable,
+    batch: DataFrame,
+    op_col: str = "op",
+    seq: str = "seq",
+) -> list[str]:
+    """Schema-drift handling for a change feed (Delta ``mergeSchema`` /
+    Iceberg ``schema.auto-evolve`` analogue): diff the batch's payload
+    columns against the table schema and apply the SAFE evolutions through
+    the table's schema-update APIs —
+
+    * a column the table lacks → ``add_column`` (nullable; historical rows
+      read back NULL);
+    * a column whose incoming type is a legal widening of the stored type
+      (the Iceberg-compatible ``_WIDEN_OK`` set) → ``widen_column``;
+    * incoming NARROWER than stored → no-op (``merge`` casts up);
+    * anything else (string→int, narrowing, struct change) → ``ValueError``
+      — drift that would lose or reinterpret data is a human decision, the
+      poison-batch quarantine path in streaming (reference: the upstream
+      schema-change failures the per-day extract loop hits,
+      ``omicidx_etl/ebi_biosample/README.md`` §Error Handling).
+
+    Returns the list of applied evolution descriptions (empty = no drift).
+    """
+    cur = {f.name: f.dataType for f in table.current_schema().fields}
+    applied: list[str] = []
+    for f in batch.schema.fields:
+        if f.name in (op_col, seq) or f.name.startswith("__"):
+            continue
+        if f.name not in cur:
+            table.add_column(f.name, f.dataType)
+            applied.append(f"add {f.name} {f.dataType.simpleString()}")
+            continue
+        have, want = cur[f.name].simpleString(), f.dataType.simpleString()
+        if have == want:
+            continue
+        if (have, want) in _WIDEN_OK:
+            table.widen_column(f.name, f.dataType)
+            applied.append(f"widen {f.name} {have}->{want}")
+        elif (want, have) in _WIDEN_OK:
+            pass  # incoming narrower: merge casts it up losslessly
+        else:
+            raise ValueError(
+                f"incompatible schema drift on {f.name!r}: table has {have}, "
+                f"batch has {want} — not in the safe evolution set"
+            )
+    return applied
 
 
 def _obs_stats(m: dict[str, Any]) -> dict[str, Any]:
@@ -122,8 +171,14 @@ def replay_batch(
     mode: str = "cow",
     fanout: bool = False,
     branch: str | None = None,
+    auto_evolve: bool = False,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events to the table, exactly once.
+
+    ``auto_evolve=True`` diffs the batch schema against the table first and
+    applies safe evolutions (new columns, legal widenings) via
+    :func:`evolve_to_batch_schema`; incompatible drift raises before
+    anything is staged.
 
     Returns the committed snapshot dict (or the skipped marker if this
     (app_id, batch_id) is already in the table's transaction watermark).
@@ -137,6 +192,9 @@ def replay_batch(
         raise ValueError("dedup_method='none' requires mode='mor'")
     key = key or table.key
     t0 = time.time()
+    evolved: list[str] = []
+    if auto_evolve:
+        evolved = evolve_to_batch_schema(table, changes, op_col=op_col, seq=seq)
     # Stats ride the merge's own scan via Observation — no extra pass.
     obs = Observation(f"replay_{app_id}_{batch_id}")
     obs_cols = (
@@ -167,7 +225,11 @@ def replay_batch(
         mode=mode,
         fanout=fanout,
         branch=branch,
-        extra_summary=lambda: _obs_stats(obs.get),
+        extra_summary=lambda: (
+            dict(_obs_stats(obs.get), schema_evolved=evolved)
+            if evolved
+            else _obs_stats(obs.get)
+        ),
     )
     if lineage is not None:
         lineage.record(

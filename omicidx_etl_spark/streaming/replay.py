@@ -102,6 +102,7 @@ def stream_replay(
     compact_deltas_over: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     source_format: str = "parquet",
+    auto_evolve: bool = False,
 ) -> list[dict[str, Any]]:
     """Run an availableNow streaming replay of the change-log directory.
 
@@ -164,6 +165,7 @@ def stream_replay(
                 dedup_method=dedup_method,
                 lineage=lineage,
                 mode=mode,
+                auto_evolve=auto_evolve,
             )
         except Exception as e:
             if not quarantine:

@@ -210,3 +210,96 @@ def test_rename_on_legacy_table_backfills_field_ids(spark, tmp_path):
     # the backfill covers every schema id referenced by the snapshot
     fids = t.snapshot()["field_ids"]
     assert set(fids) == set(t.snapshot()["schemas"])
+
+
+def test_auto_evolve_applies_drift_mid_replay(spark, tmp_path):
+    """replay_batch(auto_evolve=True): a drifted batch (new column, widened
+    type) evolves the table THROUGH the schema-update APIs before merging —
+    no manual add_column/widen_column calls, incompatible drift still
+    raises (Delta mergeSchema / Iceberg schema.auto-evolve analogue)."""
+    from omicidx_etl_spark.cdc.replay import replay_batch
+
+    n_docs = 200
+    ch1 = datagen.gen_changes(spark, 1000, n_docs, seed=21).drop("event_ts")
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        ch1.drop("seq", "op").schema,
+        key="doc_id",
+        n_buckets=4,
+    )
+    replay_batch(t, ch1, batch_id=0, app_id="drift", auto_evolve=True, mode="mor")
+    assert "quality" not in t.current_schema().fieldNames()
+
+    ch2 = datagen.gen_changes_v2(spark, 800, n_docs, seed=22, seq_start=1001).drop(
+        "event_ts"
+    )
+    snap = replay_batch(
+        t, ch2, batch_id=1, app_id="drift", auto_evolve=True, mode="mor"
+    )
+    assert snap["summary"]["schema_evolved"] == [
+        "widen n_tok int->bigint",
+        "add quality double",
+    ]
+    cur = {f.name: f.dataType for f in t.current_schema().fields}
+    assert cur["quality"] == T.DoubleType()
+    assert cur["n_tok"] == T.LongType()
+    out = t.read()
+    # rows only touched in phase 1 read back NULL quality; evolved rows carry it
+    assert out.filter(F.col("quality").isNotNull()).count() > 0
+    assert out.filter(F.col("quality").isNull()).count() > 0
+    # idempotent: replaying the same evolved batch is a no-op for schema too
+    again = replay_batch(
+        t, ch2, batch_id=1, app_id="drift", auto_evolve=True, mode="mor"
+    )
+    assert again["summary"]["skipped"] is True
+
+
+def test_auto_evolve_rejects_incompatible_drift(spark, tmp_path):
+    from omicidx_etl_spark.cdc.replay import replay_batch
+
+    ch = datagen.gen_changes(spark, 200, 50, seed=23).drop("event_ts")
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        ch.drop("seq", "op").schema,
+        key="doc_id",
+        n_buckets=4,
+    )
+    bad = ch.withColumn("n_tok", F.col("n_tok").cast("string"))
+    with pytest.raises(ValueError, match="incompatible schema drift"):
+        replay_batch(t, bad, batch_id=0, app_id="bad", auto_evolve=True, mode="mor")
+    # nothing committed
+    assert t.snapshot()["snapshot_id"] == 0
+
+
+def test_stream_auto_evolve_across_deploys(spark, tmp_path):
+    """A file-source stream has one fixed schema per run, so drift arrives
+    as a NEW stream deployment over the evolved feed; auto_evolve lets the
+    new deployment evolve the table on its first batch."""
+    from omicidx_etl_spark.streaming import stream_replay
+
+    n_docs = 150
+    log1, log2 = str(tmp_path / "log1"), str(tmp_path / "log2")
+    ch1 = datagen.gen_changes(spark, 1000, n_docs, seed=31).drop("event_ts")
+    datagen.write_change_log(ch1, log1, files=2)
+    ch2 = datagen.gen_changes_v2(spark, 600, n_docs, seed=32, seq_start=1001).drop(
+        "event_ts"
+    )
+    datagen.write_change_log(ch2, log2, files=2)
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        ch1.drop("seq", "op").schema,
+        key="doc_id",
+        n_buckets=4,
+    )
+    stream_replay(spark, t, log1, str(tmp_path / "ck1"), app_id="v1", mode="mor")
+    stream_replay(
+        spark, t, log2, str(tmp_path / "ck2"), app_id="v2", mode="mor",
+        auto_evolve=True,
+    )
+    cur = {f.name: f.dataType for f in t.current_schema().fields}
+    assert cur["quality"] == T.DoubleType() and cur["n_tok"] == T.LongType()
+    assert t.read().filter(F.col("quality").isNotNull()).count() > 0
