@@ -128,6 +128,14 @@ def minhash_signatures(
     scale, candidate verification cost dominates hashing cost. Returns
     (doc, mh0..mh{k-1})."""
     sh = _exploded_shingles(df, id_col, text_col, n)
+    return minhash_from_shingles(sh, k)
+
+
+def minhash_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    """Signature aggregation over an already-exploded (doc, shingle) set —
+    the shingle source is pluggable (word n-grams for text, token-id
+    n-grams for pre-tokenized sequences; see
+    ``cdc.canonicalize.token_shingles``)."""
     return sh.groupBy("doc").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
@@ -147,8 +155,15 @@ def minhash_lsh_candidates(
     """LSH candidate pairs: split the K minhashes into ``bands`` bands of
     K/bands values; docs sharing any full band signature are candidates.
     The self-join runs per (band, signature) bucket — never O(n²)."""
-    rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
+    return band_pairs(sigs, k, bands)
+
+
+def band_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH banding over a (doc, mh0..mh{k-1}) signature frame: emit
+    candidate pairs (doc_a < doc_b) sharing any full band signature. The
+    self-join runs per (band, sig) bucket."""
+    rows = k // bands
     band_col = F.explode(
         F.array(
             *[
@@ -319,3 +334,91 @@ def incremental_exact_dedup(
     seen_col = ccol if corpus_hashed else F.md5(ccol)
     seen = corpus.select(seen_col.alias("content_hash")).distinct()
     return batch.join(seen, "content_hash", "left_anti").select(id_col, "content_hash")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER formation: connected components over a near-dup
+    pair set, via iterative min-label propagation with pointer jumping.
+
+    The LSH/Jaccard/SimHash families emit PAIRS; an actual dedup pipeline
+    needs CLUSTERS (the transitive closure) so it keeps exactly one
+    canonical survivor per group — A~B and B~C must collapse to one doc
+    even when (A, C) was never a candidate pair. The reference resolves
+    duplicates only keyed/latest-wins per accession (the ``deduped`` CTEs
+    in ``omicidx_etl/sql/010_raw_to_parquet.sql:17-87``); cluster
+    formation is the transitive step a web-scale corpus needs on top.
+
+    Algorithm — hash-to-min with pointer jumping (cf. Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): every node's
+    label starts at min(self, neighbors); each round takes the min label
+    over the neighborhood, then shortcuts ``label <- label(label)``.
+    Converges in O(log diameter) rounds and near-dup components are
+    shallow quasi-cliques, so 2-4 rounds in practice. Scale posture: each
+    round is two key-partitioned shuffles over the EDGE set (already
+    LSH-pruned — never all-pairs over the corpus); ``localCheckpoint``
+    truncates lineage so the plan stays O(1) per round (a multi-executor
+    deployment would use a reliable ``checkpoint`` dir); driver-side work
+    is one ``count()`` per round for the convergence test — O(rounds)
+    scalars, no data collected.
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical), one row per
+    doc appearing in any pair; cluster_id is the lexicographic min doc_id
+    of the component (deterministic canonical choice).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("dst")  # each round's propagate joins on dst
+        .localCheckpoint(eager=True)
+    )
+
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(F.col("src").alias("node"), F.least("src", "nmin").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        prop = labels.join(nbr, "node", "left").select(
+            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        # pointer jump: label <- min(label, label(label))
+        hop = prop.select(F.col("node").alias("label"), F.col("label").alias("plabel"))
+        new_labels = (
+            prop.join(hop, "label", "left")
+            .select(
+                "node", F.least("label", F.coalesce("plabel", "label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("n").cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+    )

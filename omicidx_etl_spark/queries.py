@@ -1167,6 +1167,77 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_candidates(d, "doc_id", n=2, k=8, bands=4)
 
 
+_CC_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_lsh_sql(8, 4)}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(node, m) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ), lab AS (
+      SELECT node AS doc_id, least(node, min(m)) AS cluster_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM lab
+    """
+
+
+@register("dedup_cluster_cc", _CC_SQL)
+def dedup_cluster_cc(spark, sf_dir):
+    """Duplicate-cluster formation: connected components (transitive
+    closure) over the MinHash-LSH pair set — one canonical doc per
+    near-dup group, even across pairs LSH never directly emitted. The
+    oracle is the same closure as a DuckDB recursive CTE. Iterative
+    min-label propagation with pointer jumping; see
+    :func:`omicidx_etl_spark.functions.dedup.connected_components` for the
+    per-round shuffle budget."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_candidates(d, "doc_id", n=2, k=8, bands=4)
+    return D.connected_components(pairs)
+
+
+_STRATA = [("en", "80"), ("de", "40"), ("es", "26"), ("fr", "1a")]
+_STRATA_DEFAULT = "0d"
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATA)}
+          ELSE '{_STRATA_DEFAULT}' END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli stratified sampling for corpus
+    curation: per-language keep rates expressed as hex-prefix thresholds
+    on md5(doc_id) ('80' = 128/256 = 50%, '1a' ≈ 10%). Unlike
+    row_number/percent_rank sampling this is a pure scan-local filter —
+    zero shuffles, no per-stratum count pass, and membership is
+    resampling-stable: a doc's in/out decision never changes as the
+    corpus grows, so incremental batches sample consistently with
+    history. The reference subsets per-accession slices imperatively
+    (``omicidx_etl/sra/catalog.py``); this is the declarative,
+    pushdown-friendly form."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.lit(_STRATA_DEFAULT)
+    for k, v in reversed(_STRATA):
+        thresh = F.when(F.col("lang") == k, F.lit(v)).otherwise(thresh)
+    return d.select("doc_id", "lang", key.alias("sample_key")).filter(
+        F.col("sample_key") < thresh
+    )
+
+
 def _simhash_cte(bits: int = 16) -> str:
     """Shared DuckDB CTE computing (doc, simhash) — must mirror
     ``functions.dedup.simhash`` bit-for-bit."""
