@@ -461,6 +461,52 @@ def sessionize(spark, sf_dir):
 
 
 @register(
+    "session_window_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+             event_id
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    """Variable-length session windows as a first-class grouping
+    (``F.session_window``, SURVEY §2.9): one row per (user, session) with
+    start/end/count — the aggregated dual of the row-level `sessionize`
+    labels. Spark merges events whose gap is STRICTLY less than the 30-min
+    gap (window ends are exclusive), hence the oracle's ``>=`` new-session
+    test. Streaming counterpart (watermarked, append-mode exactly-once):
+    ``streaming.windows.stream_session_stats``. Plan: one shuffle on
+    user_id, sessions merged inside the aggregation — no self-join, no
+    global sort."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "t2_tumbling_window",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,

@@ -84,3 +84,69 @@ def stream_windowed_stats(
     )
     q.awaitTermination(timeout=timeout_s)
     return q
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "event_ts",
+    key_col: str = "doc_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key session windows over the change feed: events separated by
+    less than ``gap`` merge into one session (``F.session_window`` — the
+    variable-length dual of the tumbling T2 windows; SURVEY §2.9).
+
+    Unlike the fixed windows, session state is per-key and unbounded
+    without a watermark — streaming callers MUST pass one so closed
+    sessions evict. Batch and streaming share this definition, so the
+    batch run is the streaming test's oracle. Shuffle key is
+    (key, merged-session): map-side partial aggregation applies before the
+    merge, and skewed keys split across sessions by construction.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("n_tok").cast("long"), F.lit(0))).alias(
+                "sum_tokens"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_tokens",
+        )
+    )
+
+
+def stream_session_stats(
+    spark,
+    log_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "doc_id",
+    timeout_s: float | None = None,
+):
+    """Session aggregation as an availableNow stream: append mode emits a
+    session exactly once, when the watermark passes its end."""
+    schema = spark.read.parquet(log_path).schema
+    src = spark.readStream.schema(schema).parquet(log_path)
+    agg = session_event_stats(src, gap=gap, watermark=watermark, key_col=key_col)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=timeout_s)
+    return q

@@ -289,3 +289,12 @@ def test_rollup_partial_aggregation(spark):
     plan = _plan(spark, "agg_rollup_census")
     assert re.search(r"partial_(sum|count)", plan), plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_stratified_sample_is_scan_local(spark):
+    """stratified_sample must be a pure scan-local filter: no Exchange of
+    any kind (its whole value at 100 TB is sampling without a shuffle or a
+    per-stratum count pass)."""
+    plan = _plan(spark, "stratified_sample")
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan

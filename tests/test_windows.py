@@ -72,3 +72,71 @@ def test_stream_windows_match_batch(spark, tmp_path):
     assert len(merged) == len(got)
     for c in ["n_events", "n_deletes", "sum_tokens"]:
         assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist()
+
+
+def test_batch_sessions_match_duckdb(spark, tmp_path):
+    """session_window semantics vs a lag-gap oracle: merge iff gap < 10min
+    (window ends exclusive -> oracle splits on gap >= 10min)."""
+    log = str(tmp_path / "log")
+    ch = datagen.gen_changes(spark, 4000, 50, seed=43)
+    datagen.write_change_log(ch, log, files=4)
+    from omicidx_etl_spark.streaming import session_event_stats
+
+    got = (
+        session_event_stats(spark.read.parquet(log), gap="10 minutes")
+        .orderBy("doc_id", "session_start")
+        .toPandas()
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH g AS (
+          SELECT doc_id, event_ts, n_tok,
+                 epoch_us(event_ts) - LAG(epoch_us(event_ts))
+                   OVER (PARTITION BY doc_id ORDER BY event_ts, seq) AS gap_us,
+                 seq
+          FROM read_parquet('{log}/*.parquet')
+        ), s AS (
+          SELECT doc_id, event_ts, n_tok,
+                 SUM(CASE WHEN gap_us IS NULL OR gap_us >= 600000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY event_ts, seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g
+        )
+        SELECT doc_id, MIN(event_ts) AS session_start,
+               COUNT(*) AS n_events,
+               SUM(COALESCE(n_tok, 0)) AS sum_tokens
+        FROM s GROUP BY doc_id, sid
+        ORDER BY doc_id, session_start
+        """
+    ).df()
+    assert len(got) == len(exp)
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["sum_tokens"].astype(int).tolist() == exp["sum_tokens"].astype(int).tolist()
+    assert [str(t) for t in got["session_start"]] == [str(t) for t in exp["session_start"]]
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    """availableNow session stream == batch definition for every session
+    the watermark finalized (append mode holds back open tails)."""
+    log = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ch = datagen.gen_changes(spark, 4000, 50, seed=44)
+    datagen.write_change_log(ch, log, files=4)
+    from omicidx_etl_spark.streaming import session_event_stats, stream_session_stats
+
+    stream_session_stats(
+        spark, log, ckpt, out, gap="10 minutes", watermark="5 minutes"
+    )
+    got = spark.read.parquet(out).toPandas()
+    exp = (
+        session_event_stats(spark.read.parquet(log), gap="10 minutes")
+        .toPandas()
+    )
+    assert 0 < len(got) <= len(exp)
+    merged = exp.merge(
+        got, on=["doc_id", "session_start"], suffixes=("_b", "_s"), how="inner"
+    )
+    assert len(merged) == len(got)
+    for c in ["n_events", "sum_tokens"]:
+        assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist()
