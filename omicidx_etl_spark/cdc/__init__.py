@@ -1,4 +1,11 @@
-from omicidx_etl_spark.cdc.canonicalize import canonicalize, duplicate_losers, token_shingles
+from omicidx_etl_spark.cdc.canonicalize import (
+    build_sig_index,
+    canonicalize,
+    canonicalize_incremental,
+    create_sig_index,
+    duplicate_losers,
+    token_shingles,
+)
 from omicidx_etl_spark.cdc.replay import (
     dedup_latest,
     replay_batch,
@@ -6,7 +13,10 @@ from omicidx_etl_spark.cdc.replay import (
 )
 
 __all__ = [
+    "build_sig_index",
     "canonicalize",
+    "canonicalize_incremental",
+    "create_sig_index",
     "dedup_latest",
     "duplicate_losers",
     "replay_batch",

@@ -159,10 +159,12 @@ def minhash_lsh_candidates(
     return band_pairs(sigs, k, bands)
 
 
-def band_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
-    """LSH banding over a (doc, mh0..mh{k-1}) signature frame: emit
-    candidate pairs (doc_a < doc_b) sharing any full band signature. The
-    self-join runs per (band, sig) bucket."""
+def banded_signatures(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """Expand a (doc, mh0..mh{k-1}) signature frame into (doc, band, sig)
+    rows — one per band, sig = the band's minhashes joined. The shared
+    currency of the LSH family: self-join it for in-corpus pairs
+    (:func:`band_pairs`) or join batch-vs-index for incremental dedup
+    (``cdc.canonicalize.canonicalize_incremental``)."""
     rows = k // bands
     band_col = F.explode(
         F.array(
@@ -177,9 +179,16 @@ def band_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
             ]
         )
     )
-    banded = sigs.select("doc", band_col.alias("bs")).select(
+    return sigs.select("doc", band_col.alias("bs")).select(
         "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def band_pairs(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH banding over a (doc, mh0..mh{k-1}) signature frame: emit
+    candidate pairs (doc_a < doc_b) sharing any full band signature. The
+    self-join runs per (band, sig) bucket."""
+    banded = banded_signatures(sigs, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

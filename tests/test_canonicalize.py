@@ -114,3 +114,110 @@ def test_canonicalize_time_travel_sees_pre_delete_state(spark, tmp_path):
     # the canonicalize commit is self-describing in history
     ops = [h["summary"].get("operation") for h in t.history()]
     assert "canonicalize" in ops
+
+
+def _merge(t, rows, seq0, app, bid):
+    spark = t.spark
+    ch = spark.createDataFrame(
+        [(seq0 + i, op, d, toks, len(toks or []), "web")
+         for i, (op, d, toks) in enumerate(rows)],
+        "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    t.merge(ch, app_id=app, batch_id=bid, mode="mor")
+
+
+def test_incremental_canonicalize_end_to_end(spark, tmp_path):
+    from omicidx_etl_spark.cdc import (
+        build_sig_index, canonicalize_incremental, create_sig_index,
+    )
+
+    base = list(range(60))
+    t = _table(spark, tmp_path, [("a", base), ("b", [7] * 30), ("c", [9] * 30)])
+    idx = create_sig_index(spark, str(tmp_path / "sigs"), t)
+    build_sig_index(t, idx)
+    assert sorted(r["doc_id"] for r in idx.read().collect()) == ["a", "b", "c"]
+    sid0 = t.snapshot()["snapshot_id"]
+
+    # batch: d is a near-dup of a (never re-shingles a — matches via index);
+    # e is unique
+    _merge(t, [("U", "d", base[:-1] + [999]), ("U", "e", list(range(500, 560)))],
+           seq0=100, app="feed", bid=1)
+    res = canonicalize_incremental(t, idx, sid0, app_id="ci", batch_id=0)
+    assert res["deleted"] == 1
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "b", "c", "e"]
+    # index in sync: survivors only among batch docs; loser d absent
+    assert sorted(r["doc_id"] for r in idx.read().collect()) == ["a", "b", "c", "e"]
+    # exactly-once: rerun with the same ids is a no-op on both tables
+    res2 = canonicalize_incremental(t, idx, sid0, app_id="ci", batch_id=0)
+    assert res2["commit"]["summary"].get("skipped") is True
+    assert res2["index_commit"]["summary"].get("skipped") is True
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "b", "c", "e"]
+
+
+def test_incremental_stale_ghost_never_canonical(spark, tmp_path):
+    """A signature row whose doc is no longer live (crash between corpus
+    and index commits) must not become a cluster canonical — that would
+    delete live docs in favor of a ghost."""
+    from omicidx_etl_spark.cdc import (
+        build_sig_index, canonicalize_incremental, create_sig_index,
+    )
+
+    base = list(range(60))
+    # the ghost sorts FIRST ('0-ghost' < 'm') so a missing live-filter
+    # would elect it canonical and delete every live member
+    t = _table(spark, tmp_path, [("m", base), ("0-ghost", base)])
+    idx = create_sig_index(spark, str(tmp_path / "sigs"), t)
+    build_sig_index(t, idx)
+    # simulate the crash window: ghost deleted from the corpus, index stale
+    _merge(t, [("D", "0-ghost", None)], seq0=50, app="fix", bid=0)
+    sid0 = t.snapshot()["snapshot_id"]
+
+    _merge(t, [("U", "y", base[:-1] + [999])], seq0=100, app="feed", bid=1)
+    res = canonicalize_incremental(t, idx, sid0, app_id="ci", batch_id=0)
+    # cluster {y, m} with canonical m — the ghost was filtered out
+    assert res["deleted"] == 1
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["m"]
+
+
+def test_incremental_interval_delete_drops_index_row(spark, tmp_path):
+    from omicidx_etl_spark.cdc import (
+        build_sig_index, canonicalize_incremental, create_sig_index,
+    )
+
+    content = [7] * 40
+    t = _table(spark, tmp_path, [("a", list(range(60))), ("b", content)])
+    idx = create_sig_index(spark, str(tmp_path / "sigs"), t)
+    build_sig_index(t, idx)
+    sid0 = t.snapshot()["snapshot_id"]
+
+    _merge(t, [("D", "b", None)], seq0=100, app="feed", bid=1)
+    res = canonicalize_incremental(t, idx, sid0, app_id="ci", batch_id=0)
+    assert res["deleted"] == 0
+    assert sorted(r["doc_id"] for r in idx.read().collect()) == ["a"]
+    sid1 = t.snapshot()["snapshot_id"]
+    # b's content re-arrives under a new id: nothing to match — it survives
+    _merge(t, [("U", "c", content)], seq0=200, app="feed", bid=2)
+    res = canonicalize_incremental(t, idx, sid1, app_id="ci", batch_id=1)
+    assert res["deleted"] == 0
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "c"]
+
+
+def test_incremental_update_uses_fresh_signature(spark, tmp_path):
+    """An updated doc's OLD index signature must not create edges: the
+    batch carries its new content, and its stale index row is excluded."""
+    from omicidx_etl_spark.cdc import (
+        build_sig_index, canonicalize_incremental, create_sig_index,
+    )
+
+    old = list(range(60))
+    t = _table(spark, tmp_path, [("a", old)])
+    idx = create_sig_index(spark, str(tmp_path / "sigs"), t)
+    build_sig_index(t, idx)
+    sid0 = t.snapshot()["snapshot_id"]
+
+    # a's content changes completely; w arrives with a's OLD content
+    _merge(t, [("U", "a", list(range(900, 960))), ("U", "w", old)],
+           seq0=100, app="feed", bid=1)
+    res = canonicalize_incremental(t, idx, sid0, app_id="ci", batch_id=0)
+    assert res["deleted"] == 0
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "w"]
