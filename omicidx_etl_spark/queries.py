@@ -1077,6 +1077,79 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "curation_pipeline",
+    # assembled right after registration (needs text_quality's SQL); see
+    # the _REGISTRY patch below this function
+    None,
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composition a training-data lake
+    actually runs, as ONE declarative plan: quality heuristics →
+    language allowlist → exact dedup (keep min doc per content hash, the
+    reference's rn=1 consolidation shape, ``010_raw_to_parquet.sql:36-43``)
+    → deterministic hash sample. Catalyst fuses the filters into the scan;
+    the only shuffle is the dedup's hash partition."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    q = X.quality_score(d).select("doc_id", "lang", "text", "n_words", "quality_keep")
+    kept = q.filter(F.col("quality_keep") & F.col("lang").isin("en", "de"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        dd.withColumn("sample_key", key)
+        .filter(F.col("sample_key") < "80")
+        .select("doc_id", "lang", "n_words", "sample_key")
+    )
+
+
+_REGISTRY["curation_pipeline"] = (
+    _REGISTRY["curation_pipeline"][0],
+    f"""
+    WITH q AS ( {_REGISTRY["text_quality"][1]} ),
+    k AS (
+      SELECT d.doc_id, d.lang, d.text, q.n_words
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality_keep AND d.lang IN ('en', 'de')
+    ),
+    dd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, lang, n_words,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+    FROM dd
+    WHERE rn = 1 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    """,
+)
+
+
+@register(
+    "top_tokens",
+    """
+    SELECT w AS token, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(TRIM(lower(text)), '\\s+')) AS w
+          FROM documents)
+    GROUP BY w ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-50 whitespace tokens. Explode → one
+    map-side-combinable count → TakeOrderedAndProject (no global sort);
+    ties broken by token so the result is total-ordered and
+    oracle-exact."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
     "token_count",
     """
     SELECT doc_id,
