@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--chunk", type=int, default=1_000_000)
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--compact-every", type=int, default=None)
+    p.add_argument("--canonicalize-every", type=int, default=None,
+                   help="batch replay: run in-flight exact corpus dedup "
+                        "(cdc.canonicalize) every N batches")
     p.add_argument("--dedup", default="max_by",
                    choices=["max_by", "window", "salted_window", "prefilter"])
     p.add_argument("--no-quarantine", action="store_true",
@@ -104,6 +107,7 @@ def main() -> None:
             spark, table, args.log, chunk_events=args.chunk, app_id=args.app_id,
             mode=args.mode, compact_every=args.compact_every, lineage=lineage,
             dedup_method=args.dedup,
+            canonicalize_every=args.canonicalize_every,
         )
     dt = time.time() - t0
     events = sum(

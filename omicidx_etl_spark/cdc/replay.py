@@ -289,6 +289,9 @@ def replay_log(
     mode: str = "cow",
     fanout: bool = False,
     compact_every: int | None = None,
+    canonicalize_every: int | None = None,
+    canonicalize_method: str = "exact",
+    canonicalize_content_col: str = "tokens",
 ) -> list[dict[str, Any]]:
     """Batch-replay a parquet change log in ordered seq-range micro-batches.
 
@@ -303,6 +306,12 @@ def replay_log(
     ``compact_every=k`` folds deltas into the base every k batches so
     read-side reconciliation stays bounded — the streaming-upsert pattern
     for the 10^10-event scale target.
+
+    ``canonicalize_every=k`` runs in-flight corpus dedup
+    (``cdc.canonicalize``) every k batches as its own idempotent commit
+    (batch-id–keyed, so kill/resume never double-deletes). The full pass
+    is right for bounded tables; at corpus scale prefer the standalone
+    incremental job (``canonicalize_incremental`` + signature index).
     """
     segs = _segment_index(log_path, seq)
     log = spark.read.parquet(log_path)
@@ -333,4 +342,12 @@ def replay_log(
         )
         if compact_every and (b + 1) % compact_every == 0:
             table.compact()
+        if canonicalize_every and (b + 1) % canonicalize_every == 0:
+            from omicidx_etl_spark.cdc.canonicalize import canonicalize
+
+            canonicalize(
+                table, method=canonicalize_method,
+                content_col=canonicalize_content_col,
+                app_id=f"{app_id}__canon", batch_id=b, mode=mode,
+            )
     return snaps

@@ -221,3 +221,34 @@ def test_incremental_update_uses_fresh_signature(spark, tmp_path):
     res = canonicalize_incremental(t, idx, sid0, app_id="ci", batch_id=0)
     assert res["deleted"] == 0
     assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "w"]
+
+
+def test_replay_with_inflight_canonicalize(spark, tmp_path):
+    """replay_log(canonicalize_every=1): a batch that lands an exact dup
+    is deduped in-flight, and kill/resume never double-runs the dedup
+    commit (batch-id-keyed idempotency)."""
+    from omicidx_etl_spark.cdc import replay_log
+
+    base = [1, 2, 3, 4, 5]
+    rows = [
+        (1, "U", "a", base), (2, "U", "b", [9] * 5),        # batch 0
+        (11, "U", "c", base),                                 # batch 1: dup of a
+    ]
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(s, op, d, tk, len(tk), "web") for s, op, d, tk in rows],
+        "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.parquet(log)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), key="doc_id", n_buckets=4
+    )
+    replay_log(spark, t, log, chunk_events=10, mode="mor",
+               canonicalize_every=1)
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "b"]
+    # resume from scratch state: everything (replay + canonicalize commits)
+    # is watermarked, so a rerun is a full no-op
+    before = t.snapshot()["snapshot_id"]
+    replay_log(spark, t, log, chunk_events=10, mode="mor",
+               canonicalize_every=1)
+    assert t.snapshot()["snapshot_id"] == before
+    assert sorted(r["doc_id"] for r in t.read().collect()) == ["a", "b"]
