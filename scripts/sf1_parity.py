@@ -170,6 +170,62 @@ def _oracle_overrides() -> dict[str, str]:
     return {"dedup_simhash_near": _banded_simhash_near_sql(16, 3)}
 
 
+def _cc_unionfind_check(spark, sf_dir: str) -> "tuple[bool, str]":
+    """sf1-only oracle for dedup_cluster_cc: the registered DuckDB
+    recursive-CTE closure materializes Σ component_size² reach rows —
+    measured 25+ min without completing on sf1's ~600k-pair graph. This
+    check replaces it with a driver-side union-find: an independent exact
+    closure over the SAME pair set, whose own sf1 parity
+    (dedup_minhash_lsh vs DuckDB) is proven in this sweep; the
+    recursive-CTE equivalence itself is proven at sf0.001/sf0.01 by the
+    driver gate every round. Pairs collect is ~600k 2-int rows (~10 MB)."""
+    from omicidx_etl_spark import queries as Q
+
+    pairs = Q._REGISTRY["dedup_minhash_lsh"][0](spark, sf_dir).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    exp = {}
+    for members in comp.values():
+        canon = min(members)
+        for m in members:
+            exp[m] = (canon, len(members), 1 if m == canon else 0)
+
+    got_rows = Q._REGISTRY["dedup_cluster_cc"][0](spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in got_rows
+    }
+    if got == exp:
+        return True, f"ok (union-find oracle, {len(got)} rows)"
+    miss = {k for k in exp if k not in got} | {k for k in got if k not in exp}
+    diff = [k for k in exp if k in got and got[k] != exp[k]][:3]
+    return False, (
+        f"{len(miss)} row mismatches, {len(diff)}+ value mismatches; "
+        f"examples: {[(k, got.get(k), exp.get(k)) for k in diff]}"
+    )
+
+
+# Queries verified by a non-SQL independent oracle at sf1 (same philosophy
+# as _oracle_overrides, for closures SQL recursion cannot bound).
+_SPECIAL_CHECKS = {"dedup_cluster_cc": _cc_unionfind_check}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/dev/shm/spark_graft_sf1")
@@ -225,7 +281,10 @@ def main() -> int:
         tq = time.time()
         for attempt in (0, 1):
             try:
-                if sql is None:
+                if name in _SPECIAL_CHECKS:
+                    ok, msg = _SPECIAL_CHECKS[name](spark, args.dir)
+                    results[name] = msg if ok else f"FAIL: {msg}"
+                elif sql is None:
                     n = fn(spark, args.dir).count()
                     results[name] = f"ok (rows-only, {n} rows)"
                 else:
