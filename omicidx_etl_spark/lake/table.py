@@ -1061,6 +1061,7 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         sort_by_key: bool = False,
+        sort_by: "list[str] | None" = None,
         tasks_per_bucket: int = 1,
         target_records_per_file: int | None = None,
     ) -> dict[str, Any]:
@@ -1084,7 +1085,15 @@ class LakeTable:
         (Iceberg binpack) — see ``_stage_write``. With slicing, key order
         holds within each file (row-group stats stay tight) but the bucket
         dir holds k overlapping key ranges; lookups still push the key
-        predicate per file."""
+        predicate per file.
+
+        ``sort_by=[cols]`` is the general Iceberg *sort order*: cluster the
+        rewritten bases by arbitrary (non-partition) columns. The manifest
+        prunes at bucket granularity on the KEY; for every other column,
+        this is what makes parquet row-group min/max stats selective, so a
+        pushed predicate on e.g. ``source`` or an event-date column skips
+        row groups inside every bucket instead of decoding them. Task-local
+        sort, no extra shuffle; overrides ``sort_by_key``."""
         snap = self.snapshot()
         nb = snap["table"]["n_buckets"]
         todo = [
@@ -1100,7 +1109,7 @@ class LakeTable:
         ).withColumn(BUCKET_COL, bucket_expr(snap["table"]["key"], nb))
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(
-            merged, new_sid, nb, sort_by_key=sort_by_key,
+            merged, new_sid, nb, sort_by_key=sort_by_key, sort_by=sort_by,
             tasks_per_bucket=tasks_per_bucket,
             target_records_per_file=target_records_per_file,
         )
@@ -1494,6 +1503,7 @@ class LakeTable:
         nb: int,
         shuffle: bool = True,
         sort_by_key: bool = False,
+        sort_by: "list[str] | None" = None,
         tasks_per_bucket: int = 1,
         target_records_per_file: int | None = None,
     ) -> dict[int, str]:
@@ -1538,12 +1548,13 @@ class LakeTable:
             out_df = df.repartition(nb, F.col(BUCKET_COL))
         else:
             out_df = df
-        if sort_by_key:
+        if sort_by or sort_by_key:
             # Leading BUCKET_COL matters: the dynamic-partition writer
             # requires ordering by the partition column and would insert its
             # own (key-order-destroying) sort unless the child's ordering
             # already satisfies it.
-            out_df = out_df.sortWithinPartitions(BUCKET_COL, self.key)
+            cols = list(sort_by) if sort_by else [self.key]
+            out_df = out_df.sortWithinPartitions(BUCKET_COL, *cols)
         writer = out_df.write.mode("overwrite")
         if target_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(target_records_per_file))

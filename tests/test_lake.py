@@ -261,3 +261,32 @@ def test_expire_grace_protects_inflight_staging(spark, tmp_path):
     deleted = t.expire_snapshots(keep_last=1)
     assert rel in deleted and not stage.exists()
     assert t.read().count() == 50  # table unharmed throughout
+
+
+def test_compact_sort_by_secondary_column(spark, tmp_path):
+    """compact(sort_by=['source']) = Iceberg sort order on a NON-key
+    column: every rewritten base is clustered by it, so parquet row-group
+    stats on that column become selective inside every bucket (the manifest
+    prunes only on the key; this is the other columns' pruning path)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2)
+    t.overwrite(datagen.gen_sequences(spark, 400, seed=31))
+    ch = datagen.gen_changes(spark, 500, 400, seed=32)
+    t.merge(dedup_latest(ch), mode="mor")
+    before = {r["doc_id"]: r["source"] for r in t.read().collect()}
+    t.compact(sort_by=["source"])
+    snap = t.snapshot()
+    checked = 0
+    for entry in snap["buckets"].values():
+        assert entry["deltas"] == []
+        for f in _glob.glob(os.path.join(str(tmp_path / "t"), entry["base"]["dir"], "*.parquet")):
+            vals = pq.ParquetFile(f).read(columns=["source"])["source"].to_pylist()
+            # Spark ascending order places NULLs first
+            assert vals == sorted(vals, key=lambda v: (v is not None, v or ""))
+            checked += 1
+    assert checked > 0
+    after = {r["doc_id"]: r["source"] for r in t.read().collect()}
+    assert after == before  # sort order never changes table contents
