@@ -298,3 +298,15 @@ def test_stratified_sample_is_scan_local(spark):
     plan = _plan(spark, "stratified_sample")
     assert "Exchange" not in plan
     assert "FileScan parquet" in plan
+
+
+def test_curation_pipeline_one_shuffle(spark):
+    """curation_pipeline must stay fused: ONE scan of (doc_id, lang, text)
+    with quality filters pushed into it, and ONE exchange (the dedup
+    window's hash partition). A second exchange means a stage was not
+    fused and the 100-TB run pays a gratuitous corpus shuffle."""
+    plan = _plan(spark, "curation_pipeline")
+    assert plan.count("Exchange") == 1
+    scans = _scans(plan)
+    assert len(scans) == 1
+    assert "DataFilters: [" in scans[0]
