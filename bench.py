@@ -889,6 +889,16 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                                          pin_base=base, probe_floor=floor,
                                          budget_s=remaining)
         if "NO_BUDGET" in (first, second):
+            # A full-size sample no longer fits, but a fallback-size pair
+            # might (headline stays slice-homogeneous, so extra small pairs
+            # only add context — they never dilute the full-size median).
+            # 'first' hit the gate before launching anything, so no wall
+            # was burned; shrink and retry the round at the smaller slice.
+            if (first == "NO_BUDGET" and fallback_events
+                    and n_events > fallback_events):
+                n_events = chunk = fallback_events
+                pair_floor = _pair_floor(n_events)
+                continue
             budget_stop = True
             break
         lo, hi = (first, second) if rnd % 2 == 0 else (second, first)
