@@ -1064,6 +1064,8 @@ class LakeTable:
         sort_by: "list[str] | None" = None,
         tasks_per_bucket: int = 1,
         target_records_per_file: int | None = None,
+        zorder_by: "list[str] | None" = None,
+        zorder_bits: int | None = None,
     ) -> dict[str, Any]:
         """Fold merge-on-read delta files into the base (Iceberg
         ``rewrite_data_files``). Rewrites only buckets that carry deltas
@@ -1093,7 +1095,18 @@ class LakeTable:
         this is what makes parquet row-group min/max stats selective, so a
         pushed predicate on e.g. ``source`` or an event-date column skips
         row groups inside every bucket instead of decoding them. Task-local
-        sort, no extra shuffle; overrides ``sort_by_key``."""
+        sort, no extra shuffle; overrides ``sort_by_key``.
+
+        ``zorder_by=[cols]`` is the multi-dimensional sort order (Iceberg
+        ``zorder(...)``, Delta ``OPTIMIZE ... ZORDER BY``): the rewritten
+        bases are clustered by a Morton interleave of the columns' bits, so
+        row-group stats are tight on EVERY listed column simultaneously
+        and a pushed predicate on any subset skips row groups (a plain
+        ``sort_by`` only localizes its leading column). Quantizer bounds
+        come from the snapshot manifest's per-file-group stats when they
+        cover every column (no data scan), else one min/max aggregation.
+        Same cost shape as ``sort_by``: task-local sort, no extra shuffle.
+        """
         snap = self.snapshot()
         nb = snap["table"]["n_buckets"]
         todo = [
@@ -1107,6 +1120,27 @@ class LakeTable:
         merged = self.read(
             buckets=todo, include_deleted=True, include_system=True
         ).withColumn(BUCKET_COL, bucket_expr(snap["table"]["key"], nb))
+        if zorder_by:
+            from omicidx_etl_spark.lake.zorder import (
+                bounds_from_manifest,
+                zorder_sort_expr,
+            )
+
+            zb = bounds_from_manifest(snap, todo, zorder_by)
+            if zb is None:
+                row = merged.select(
+                    *(F.min(c).alias(f"__lo{i}") for i, c in enumerate(zorder_by)),
+                    *(F.max(c).alias(f"__hi{i}") for i, c in enumerate(zorder_by)),
+                ).first()
+                zb = {
+                    c: (row[f"__lo{i}"], row[f"__hi{i}"])
+                    for i, c in enumerate(zorder_by)
+                }
+            sort_by = [
+                zorder_sort_expr(
+                    self.current_schema(snap), zb, zorder_by, zorder_bits
+                )
+            ]
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(
             merged, new_sid, nb, sort_by_key=sort_by_key, sort_by=sort_by,
