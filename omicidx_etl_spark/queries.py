@@ -1930,3 +1930,138 @@ def range_join_neighbors(spark, sf_dir):
         600_000_000,
     )
     return out.select("event_id", "user_id", "n_close")
+
+
+@register(
+    "gaps_islands",
+    """
+    WITH s AS (
+      SELECT user_id, event_id,
+             event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS grp
+      FROM events)
+    SELECT user_id,
+           CAST(MIN(event_id) AS BIGINT) AS island_start,
+           CAST(MAX(event_id) AS BIGINT) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS island_len
+    FROM s GROUP BY user_id, grp
+    """,
+)
+def gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive event_ids per user
+    (the classic sequence-completeness audit a binlog consumer runs to
+    prove it missed no events — the reference's accession-continuity
+    checks, ``omicidx_etl/sra/catalog.py:200-230``, are this shape).
+    ``id - row_number()`` is constant exactly within a consecutive run, so
+    islands fall out of ONE window + ONE aggregation over the same
+    partitioning: Catalyst reuses the hash partitioning on user_id, so the
+    plan carries a single exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    grp = (F.col("event_id") - F.row_number().over(w)).alias("grp")
+    return (
+        ev.select("user_id", "event_id", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "cube_lang_source",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_lang_source(spark, sf_dir):
+    """Full grouping-sets census (CUBE) over the corpus dimensions — the
+    rollup census (agg_rollup_census) plus the cross-dimension marginals a
+    curation dashboard wants in one pass. Spark expands the 4 grouping
+    sets map-side under a single exchange."""
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    """
+    WITH q AS (
+      SELECT l_returnflag, l_extendedprice,
+             NTILE(4) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS quartile
+      FROM lineitem)
+    SELECT l_returnflag, CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM q GROUP BY l_returnflag, quartile
+    """,
+)
+def ntile_quartiles(spark, sf_dir):
+    """Equi-depth quartile banding via NTILE + per-band rollup (the
+    price-distribution audit). The window's ORDER BY carries the unique
+    (price, orderkey, linenumber) tie-break so band assignment — and thus
+    the value hash — is deterministic in both engines. At scale NTILE
+    forces a per-partition sort; the partition column keeps it out of a
+    global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "first_last_per_user",
+    """
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def first_last_per_user(spark, sf_dir):
+    """Entry/exit event per user via FIRST_VALUE / LAST_VALUE with an
+    explicit unbounded frame (the default frame stops at CURRENT ROW, so a
+    naive LAST_VALUE returns each row's own value — the classic window
+    frame trap, handled identically here and in the oracle). event_id is
+    the unique order so both engines bind ties identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(wf).alias("last_type"),
+        )
+        .distinct()
+    )
