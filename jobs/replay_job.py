@@ -123,6 +123,12 @@ def main() -> None:
                 "final_snapshot": table.snapshot()["snapshot_id"],
                 "mode": args.mode,
                 "default_parallelism": spark.sparkContext.defaultParallelism,
+                # execution topology: local[] reports 1 (the driver);
+                # a real/local-cluster master reports driver + executors
+                "jvms": len(
+                    spark.sparkContext._jsc.sc()
+                    .statusTracker().getExecutorInfos()
+                ),
             }
         )
     )
