@@ -1150,6 +1150,89 @@ def top_tokens(spark, sf_dir):
 
 
 @register(
+    "decontaminate_ngram",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(lower(text)), '\s+') AS w
+      FROM documents),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i FROM words),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM idx),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_hit
+    FROM grams g JOIN eval_grams e USING (g)
+    WHERE g.doc_id % 53 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any full word 4-gram with
+    the eval slice (doc_id % 53 = 0 stands in for the benchmark set).
+    Eval grams broadcast (benchmarks are tiny, the corpus is not); corpus
+    side is scan → explode → broadcast join → combinable count — the only
+    corpus shuffle is the final tiny per-doc count."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 53 != 0)
+    eval_set = d.filter(F.col("doc_id") % 53 == 0)
+    return X.decontaminate(corpus, eval_set, n=4)
+
+
+@register(
+    "quality_repetition",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(lower(text)), '\s+') AS w
+      FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+            FROM words WHERE len(w) >= 2),
+    bgc AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, COUNT(*) AS c
+            FROM idx GROUP BY doc_id, bg),
+    topbg AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bgc GROUP BY doc_id),
+    wc AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+           FROM words)
+    SELECT wc.doc_id, wc.n_words,
+           CAST(FLOOR(wc.n_distinct * 10000.0 / wc.n_words + 0.5) AS BIGINT) AS distinct_ratio_e4,
+           CAST(FLOOR(topbg.top_c * 10000.0 / topbg.n_bg + 0.5) AS BIGINT) AS top_bigram_frac_e4,
+           (CAST(FLOOR(wc.n_distinct * 10000.0 / wc.n_words + 0.5) AS BIGINT) >= 3000
+            AND CAST(FLOOR(topbg.top_c * 10000.0 / topbg.n_bg + 0.5) AS BIGINT) <= 2000) AS keep
+    FROM wc JOIN topbg USING (doc_id)
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (unique-word ratio, top-bigram
+    fraction) as a zero-shuffle per-row fold — the oracle takes the
+    explode→groupBy road, the engine folds a sorted-array run-length
+    aggregate() inside the row; identical fixed-point values."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.repetition_stats(d).select(
+        "doc_id", "n_words", "distinct_ratio_e4", "top_bigram_frac_e4", "keep"
+    )
+
+
+@register(
+    "chunk_documents",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(lower(text)), '\s+') AS w
+      FROM documents),
+    starts AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 6)) AS s
+               FROM words)
+    SELECT doc_id, CAST((s-1)//6 AS BIGINT) AS chunk_id,
+           array_to_string(w[s:s+7], ' ') AS chunk,
+           CAST(len(w[s:s+7]) AS BIGINT) AS n_tok
+    FROM starts
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Fixed-size training-window chunking (window 8, stride 6, overlap
+    2): per-row sequence + slice + posexplode — a narrow map-only stage,
+    no shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.chunk_documents(d, window=8, stride=6)
+
+
+@register(
     "token_count",
     """
     SELECT doc_id,

@@ -310,3 +310,22 @@ def test_curation_pipeline_one_shuffle(spark):
     scans = _scans(plan)
     assert len(scans) == 1
     assert "DataFilters: [" in scans[0]
+
+
+def test_repetition_and_chunking_are_map_only(spark):
+    """quality_repetition and chunk_documents are per-row folds — ANY
+    Exchange means the per-doc statistic turned into a corpus shuffle
+    (the explode→groupBy anti-plan the docstring forbids)."""
+    for name in ("quality_repetition", "chunk_documents"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """decontaminate_ngram must broadcast the (tiny) eval n-gram set and
+    keep the per-doc hit count map-side combinable; the corpus side must
+    never be the broadcast build or sort-merge side."""
+    plan = _plan(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
