@@ -1150,6 +1150,59 @@ def top_tokens(spark, sf_dir):
 
 
 @register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CAST(props->>'k' AS INTEGER)) AS n_k,
+           CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CAST(props->>'k' AS INTEGER)) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """Semi-structured payload extraction: pull a field out of a JSON
+    *string* column and aggregate it — the reference's NDJSON property
+    access (``read_ndjson_auto`` + struct field refs,
+    ``sql/010_raw_to_parquet.sql:40``) for payloads that stay stringly
+    typed. ``get_json_object`` is JVM-side codegen; the agg is partial
+    (map-side) so the shuffle carries per-type state, not events."""
+    e = _t(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count_distinct(k).alias("n_distinct_k"),
+    )
+
+
+@register(
+    "anonymize_ids",
+    """
+    SELECT c_custkey,
+           md5('v1:' || c_name) AS pseudonym,
+           regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_redactions
+    FROM customer
+    """,
+)
+def anonymize_ids(spark, sf_dir):
+    """PII-scrubbing pattern for training corpora: numeric identifiers
+    masked in place (regexp_replace is replace-ALL in Spark; the oracle
+    needs the 'g' flag), identity preserved as a salted-hash pseudonym so
+    joins survive anonymization. Pure codegen column exprs — a map-only
+    stage over the corpus at any scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return c.select(
+        "c_custkey",
+        F.md5(F.concat(F.lit("v1:"), F.col("c_name"))).alias("pseudonym"),
+        F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("redacted"),
+        F.size(F.expr("regexp_extract_all(c_name, '[0-9]+', 0)")).alias("n_redactions"),
+    )
+
+
+@register(
     "decontaminate_ngram",
     r"""
     WITH words AS (

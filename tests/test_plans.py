@@ -329,3 +329,13 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_json_extract_partial_agg_and_anonymize_map_only(spark):
+    """json_props_extract must pre-aggregate map-side (shuffle carries
+    per-type state, not events); anonymize_ids is a pure projection —
+    no Exchange at all."""
+    plan = _plan(spark, "json_props_extract")
+    assert "partial_count" in plan or "partial" in plan
+    plan2 = _plan(spark, "anonymize_ids")
+    assert "Exchange" not in plan2
