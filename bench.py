@@ -239,6 +239,12 @@ PROBE_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_OK", "0.85"))
 # Minimum fresh-page supply rate (MB/s) for a scaling sample to count as
 # clean; healthy windows fault at GB/s, degraded ones at 5-15 MB/s.
 FAULT_OK = float(os.environ.get("SPARK_GRAFT_BENCH_FAULT_OK", "100"))
+# Minimum 1-core leg duration for a scaling pair to measure the engine
+# rather than the fixed ~4-6 s serial driver term (Amdahl cap at t1=120 s
+# is ~0.93 vs ~0.73 at t1=49 s — measured 2026-08-18). Pairs whose lo leg
+# runs shorter trigger slice escalation to the next pre-generated ladder
+# size (window-speed-adaptive: events are only a proxy, time is the spec).
+ESCALATE_T1 = float(os.environ.get("SPARK_GRAFT_SCALE_T1", "110"))
 
 
 def _wait_writeback_drain(max_mb: int = 256, timeout_s: int = 180) -> bool:
@@ -706,7 +712,8 @@ def _seg_files(n_events: int) -> int:
 def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
                         mode: str, dedup: str, fanout: bool,
                         pin_base: int, probe_floor: float = 0.0,
-                        budget_s: float = 1e9) -> dict | None:
+                        budget_s: float = 1e9,
+                        exp_rate: float = 3000.0) -> dict | None:
     """One pinned replay subprocess; None when it exceeds the poisoned-core
     timeout (a healthy sample runs minutes; 5-7× slow means the pinned
     core is degraded and the whole pair should be retried elsewhere) or
@@ -717,7 +724,10 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
     so a sample that merely waited at a gate is never misclassified as a
     poisoned core; when the remaining budget is tight the waits shrink
     first and the timed work is preserved."""
-    work = (n_events * 2) // (3000 * cores)  # pessimistic timed+warmup work
+    # pessimistic timed+warmup work allowance; exp_rate rises to 0.6x the
+    # study's best measured per-core rate so a fast window's escalated
+    # slice isn't refused on a slow-window worst case
+    work = int(n_events * 2 / (exp_rate * cores))
     drain_t = int(min(180, max(budget_s * 0.2, 20)))
     probe_w = int(min(120, max(budget_s * 0.1, 0))) if probe_floor > 0 else 0
     # 150 s fixed: JVM startup + log-cache check + warmup replay batch
@@ -769,7 +779,8 @@ def _median(xs: list[float]) -> float:
 def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                   n_lo: int, n_hi: int, dedup: str = "max_by",
                   fanout: bool = False, deadline: float | None = None,
-                  fallback_events: int = 0) -> dict:
+                  fallback_events: int = 0,
+                  escalate_ladder: list[int] | None = None) -> dict:
     """Same job, two parallelism levels, fresh (JIT-warmed) JVM each.
 
     Sampling protocol (the measurement, not the engine, is the noisy part
@@ -791,7 +802,20 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
       than blocking the whole bench artifact on 3 clean pairs;
     - headline = median of per-pair efficiencies over clean pairs (all
       pairs if none are clean), with raw samples reported for
-      transparency.
+      transparency;
+    - the slice is sized in TIME, not events: the per-batch serial driver
+      term (~4-6 s of job scheduling + snapshot commit) is fixed, so the
+      Amdahl efficiency cap depends on how long the 1-core leg runs — a
+      500 k slice that measures t1~180 s in a slow window caps at ~0.93,
+      but the SAME slice in a fast window (10 k ev/s/core measured
+      2026-08-18, 3.7x the slow-window rate, all gates green both times)
+      runs t1~49 s and caps at ~0.73 — the pair then measures the
+      driver's serial term, not the engine. When a completed pair's lo
+      leg shows t1 < ESCALATE_T1 the study switches to the next
+      pre-generated ladder slice big enough to push t1 back over the
+      threshold (budget permitting, at the measured rate with a 30%
+      margin); the headline's slice-homogeneity rule then keeps the
+      escalated pairs and the warm-up-sized ones from averaging.
     """
     want_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     # Runaway backstop only — the wall-clock deadline is the real bound.
@@ -835,8 +859,16 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
     # a second full slice. Deliberately not worst-case — the per-sample
     # timeout already bounds a degraded sample, and a truncated attempt
     # beats declining to try.
+    # Expected per-core rate for floor estimates: pessimistic 4k ev/s/core
+    # until a pair completes, then 0.6x the best MEASURED lo rate (windows
+    # vary 2.7k-10k ev/s/core; a fixed 4k floor at an escalated slice
+    # would un-escalate it immediately in exactly the fast windows that
+    # needed the bigger slice).
+    seen_rate = 0.0
+
     def _pair_floor(n: int) -> int:
-        return n // (4000 * n_lo) + n // (4000 * n_hi) + 200
+        r = max(4000.0, 0.6 * seen_rate)
+        return int(n / (r * n_lo) + n / (r * n_hi)) + 200
 
     pair_floor = _pair_floor(n_events)
     budget_stop = False
@@ -856,15 +888,31 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             and (ambient["fault_mbps"] or 1e9) < FAULT_OK):
         n_events = chunk = fallback_events
         pair_floor = _pair_floor(n_events)
+
+    base_events = n_events
+
+    def _shrink() -> bool:
+        """Step the slice DOWN one pre-generated ladder level (escalated →
+        base → fallback), so a budget squeeze after an escalation retries
+        the base slice instead of jumping straight to the noisy fallback.
+        Returns False at the bottom."""
+        nonlocal n_events, chunk, pair_floor
+        downs = sorted(d for d in ({fallback_events, base_events}
+                                   | set(escalate_ladder or ()))
+                       if d and d < n_events)
+        if not downs:
+            return False
+        n_events = chunk = downs[-1]
+        pair_floor = _pair_floor(n_events)
+        return True
+
     for rnd in range(max_rounds):
         remaining = (deadline - time.time()) if deadline else 1e9
-        if (remaining < pair_floor and fallback_events
-                and n_events > fallback_events):
-            # Not enough wall left for a full-size pair: shrink the slice
-            # (noisier, but a small measured pair beats none; the parent
-            # pre-generated this log too). Recorded per-pair via 'events'.
-            n_events = chunk = fallback_events
-            pair_floor = _pair_floor(n_events)
+        # Not enough wall left for a pair at this slice: shrink a level
+        # (noisier, but a small measured pair beats none; the parent
+        # pre-generated every ladder log). Recorded per-pair via 'events'.
+        while remaining < pair_floor and _shrink():
+            pass
         if remaining < pair_floor:
             budget_stop = True
             break
@@ -876,28 +924,34 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         # alternating order the drift bias flips sign pair-to-pair and the
         # median over >=3 pairs cancels it instead of inheriting it.
         first_cores, second_cores = (n_lo, n_hi) if rnd % 2 == 0 else (n_hi, n_lo)
-        second_reserve = (2 * n_events) // (4000 * second_cores) + 160
+        # Reserve for the pair's second half: 1.3x the expected work at
+        # the hedged rate plus fixed startup/gates. (Was 2x at a fixed
+        # 4k ev/s/core — 3x+ pessimistic in fast windows, which starved
+        # escalated slices of budget they actually fit; a mid-pair
+        # slowdown is already handled by the per-sample timeout + the
+        # NO_BUDGET shrink-and-retry path.)
+        _r = max(4000.0, 0.6 * seen_rate)
+        second_reserve = int(1.3 * n_events / (_r * second_cores)) + 160
         first = _one_scaling_sample(first_cores, n_events, n_docs, chunk,
                                     mode, dedup, fanout, pin_base=base,
                                     probe_floor=floor,
-                                    budget_s=remaining - second_reserve)
+                                    budget_s=remaining - second_reserve,
+                                    exp_rate=max(3000.0, 0.6 * seen_rate))
         second = None
         if first is not None and first != "NO_BUDGET":
             remaining = (deadline - time.time()) if deadline else 1e9
             second = _one_scaling_sample(second_cores, n_events, n_docs,
                                          chunk, mode, dedup, fanout,
                                          pin_base=base, probe_floor=floor,
-                                         budget_s=remaining)
+                                         budget_s=remaining,
+                                         exp_rate=max(3000.0, 0.6 * seen_rate))
         if "NO_BUDGET" in (first, second):
             # A full-size sample no longer fits, but a fallback-size pair
             # might (headline stays slice-homogeneous, so extra small pairs
             # only add context — they never dilute the full-size median).
             # 'first' hit the gate before launching anything, so no wall
             # was burned; shrink and retry the round at the smaller slice.
-            if (first == "NO_BUDGET" and fallback_events
-                    and n_events > fallback_events):
-                n_events = chunk = fallback_events
-                pair_floor = _pair_floor(n_events)
+            if first == "NO_BUDGET" and _shrink():
                 continue
             budget_stop = True
             break
@@ -923,8 +977,11 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         best_probe = max(best_probe, lo.get("probe_mbps") or 0.0,
                          hi.get("probe_mbps") or 0.0)
         eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
+        t1 = n_events / lo["events_per_sec"]
+        seen_rate = max(seen_rate, lo["events_per_sec"] / n_lo)
         pairs.append({
             "round": rnd,
+            "t1_sec": round(t1, 1),
             "events": n_events,
             "pin_base": base,
             "order": "lo-hi" if rnd % 2 == 0 else "hi-lo",
@@ -940,6 +997,32 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             "probe_mbps_lo": lo.get("probe_mbps"),
             "probe_mbps_hi": hi.get("probe_mbps"),
         })
+        # Time-targeted slice escalation: a short lo leg means the fixed
+        # serial term dominates the pair (see docstring). Switch to the
+        # smallest pre-generated ladder slice that pushes t1 back over the
+        # threshold, if the remaining wall fits a pair at the MEASURED
+        # rate (x1.3 safety) — a fast window is exactly when big slices
+        # are cheap. De-escalation on timeout/NO_BUDGET stays as-is.
+        if t1 < ESCALATE_T1 and escalate_ladder:
+            rate_lo = lo["events_per_sec"]
+            remaining = (deadline - time.time()) if deadline else 1e9
+            # affordability uses the SAME floor the round loop gates on —
+            # two different cost models here measurably bounce the slice
+            # (escalate → floor-shrink → re-escalate)
+            afford = [L for L in sorted(escalate_ladder)
+                      if L > n_events and remaining > _pair_floor(L)]
+            # smallest affordable size that restores t1 >= threshold;
+            # else the largest affordable one (partial de-dilution of the
+            # serial term still beats staying put)
+            target = next((L for L in afford if L / rate_lo >= ESCALATE_T1),
+                          afford[-1] if afford else None)
+            if target:
+                sys.stderr.write(
+                    f"[scaling] t1={t1:.0f}s < {ESCALATE_T1}s at "
+                    f"{n_events} events (fast window, serial-term "
+                    f"regime); escalating slice to {target}\n")
+                n_events = chunk = target
+                pair_floor = _pair_floor(n_events)
         if _mark_clean() >= want_pairs:
             break
     _mark_clean()
@@ -1084,6 +1167,18 @@ def main() -> None:
     if s_fallback < s_events:
         ensure_change_log(spark, s_fallback, n_docs, args.seed,
                           _seg_files(s_fallback))
+    # Escalation ladder for fast windows (see scaling_study docstring /
+    # ESCALATE_T1): pre-generate the 2x slice at full parallelism so an
+    # escalated sample never pays generation inside its own wall. One rung
+    # only, and only when the remaining budget could actually afford an
+    # escalated pair — the first escalation-run generated 2x AND 4x rungs
+    # unconditionally and spent ~5 min of a degraded window on logs the
+    # study then couldn't afford to use.
+    s_ladder = []
+    _L = min(2 * s_events, n_events)
+    if _L > s_events and _remaining() > 500:
+        ensure_change_log(spark, _L, n_docs, args.seed, _seg_files(_L))
+        s_ladder = [_L]
     spark.stop()
 
     scaling = None
@@ -1119,7 +1214,8 @@ def main() -> None:
         scaling = scaling_study(s_events, n_docs, s_chunk, args.mode, n_lo, n_hi,
                                 dedup=s_dedup, fanout=args.fanout,
                                 deadline=_T0 + BUDGET - 30,
-                                fallback_events=s_fallback)
+                                fallback_events=s_fallback,
+                                escalate_ladder=s_ladder)
 
     _RESULT["scaling"] = scaling
     _RESULT["disk_mbps"] = _disk_probe_mbps()
