@@ -234,8 +234,14 @@ STEAL_OK = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_OK", "0.02"))
 
 # A sample is probe-clean when its slowest DRAM probe reaches this fraction
 # of the best probe seen anywhere in the study (same single-thread probe in
-# every subprocess, so levels are directly comparable).
+# every subprocess, so levels are directly comparable) — OR the absolute
+# floor below. The relative gate exists to catch 3.5x bus collapses
+# (probe 2 GB/s vs 7 ambient); without the absolute escape one late lucky
+# 8.8 GB/s reading retroactively disqualified every pair in the ordinary
+# 6.5-7.9 GB/s band (measured r3: 4/4 substantive pairs probe-failed while
+# absolutely healthy, pushing the headline onto the noisy 100k fallback).
 PROBE_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_OK", "0.85"))
+PROBE_ABS_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ABS", "4000"))
 # Minimum fresh-page supply rate (MB/s) for a scaling sample to count as
 # clean; healthy windows fault at GB/s, degraded ones at 5-15 MB/s.
 FAULT_OK = float(os.environ.get("SPARK_GRAFT_BENCH_FAULT_OK", "100"))
@@ -835,10 +841,11 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             if p.get("timeout"):
                 p["clean"] = False
                 continue
-            probe_ok = (
-                min(p["probe_mbps_lo"] or 0.0, p["probe_mbps_hi"] or 0.0)
-                >= PROBE_OK * ref
-            )
+            probe_min = min(p["probe_mbps_lo"] or 0.0, p["probe_mbps_hi"] or 0.0)
+            # relative gate (bus-collapse detector) with an absolute-healthy
+            # escape: a pair probing >= PROBE_ABS_OK is clean regardless of
+            # how lucky the study's best probe reading was (see PROBE_ABS_OK)
+            probe_ok = probe_min >= min(PROBE_OK * ref, PROBE_ABS_OK)
             # Page-supply gate: in bad windows the host hands out fresh
             # pages at 5-15 MB/s (healthy: GB/s) while memcpy probes AND
             # steal both read clean — a sample whose JVM faulted its
@@ -916,7 +923,10 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         if remaining < pair_floor:
             budget_stop = True
             break
-        floor = PROBE_OK * best_probe
+        # quiet-window wait target, capped at the absolute-healthy floor so
+        # one lucky 8.8 GB/s probe doesn't make later samples wait for a
+        # window that never comes (same rationale as the clean-gate escape)
+        floor = min(PROBE_OK * best_probe, PROBE_ABS_OK)
         base = _pick_pin_base(n_lo, n_hi)
         # ABBA ordering: alternate which half runs first each round. A
         # monotone host-drift window (page supply recovering, neighbor
@@ -1023,8 +1033,17 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                     f"regime); escalating slice to {target}\n")
                 n_events = chunk = target
                 pair_floor = _pair_floor(n_events)
-        if _mark_clean() >= want_pairs:
-            break
+        # Stop on clean pairs AT THE HEADLINE SLICE (the largest slice any
+        # clean pair has), not across slices: after an escalation the
+        # first run stopped with 3 clean pairs of which only 2 were at the
+        # escalated slice — a 2-pair median over a window that swings 1.7x
+        # between back-to-back hi legs, with 600 s of budget unused.
+        _mark_clean()
+        clean_now = [p for p in pairs if p["clean"]]
+        if clean_now:
+            top_now = max(p["events"] for p in clean_now)
+            if sum(p["events"] == top_now for p in clean_now) >= want_pairs:
+                break
     _mark_clean()
     full = [p for p in pairs if not p.get("timeout")]
     # Tiered evidence: fully-gated pairs; else pairs clean on steal+DRAM
@@ -1179,6 +1198,12 @@ def main() -> None:
     if _L > s_events and _remaining() > 500:
         ensure_change_log(spark, _L, n_docs, args.seed, _seg_files(_L))
         s_ladder = [_L]
+        # 4x rung only when the budget is far beyond a driver run's: a 2M
+        # pair costs ~6-7 min and only fits SPARK_GRAFT_BENCH_BUDGET >= ~2000
+        _L4 = min(4 * s_events, n_events)
+        if _L4 > _L and _remaining() > 1400:
+            ensure_change_log(spark, _L4, n_docs, args.seed, _seg_files(_L4))
+            s_ladder.append(_L4)
     spark.stop()
 
     scaling = None
