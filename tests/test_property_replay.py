@@ -86,7 +86,7 @@ def _norm(df: pd.DataFrame) -> list[tuple]:
     compact_after=st.booleans(),
 )
 @settings(
-    max_examples=12,
+    max_examples=8,  # ~3 s/example (create+replay+compact+read); CI-sized
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
