@@ -103,6 +103,8 @@ def stream_replay(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     source_format: str = "parquet",
     auto_evolve: bool = False,
+    dedup_within: str | None = None,
+    event_ts_col: str = "event_ts",
 ) -> list[dict[str, Any]]:
     """Run an availableNow streaming replay of the change-log directory.
 
@@ -136,6 +138,14 @@ def stream_replay(
     caller-side maintenance loop (Iceberg's commit-triggered
     rewrite_data_files policy).
 
+    ``dedup_within``: for at-least-once upstreams (retried fetches,
+    crash-relands) drop redelivered copies of the same (doc_id, seq) event
+    at the ingest edge via ``dropDuplicatesWithinWatermark`` — state is
+    bounded by the horizon, and the merge then never shuffles a duplicate.
+    The merge is idempotent to exact redelivery either way (latest-per-key
+    picks the same winner), so this changes COST, not state; lineage
+    ``event_count`` shows the deduplicated counts.
+
     Returns the snapshot dicts committed during this run (compactions and
     quarantined batches included, flagged by ``operation``/``quarantined``).
     """
@@ -145,6 +155,18 @@ def stream_replay(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     src = reader.format(source_format).load(log_path)
+    if dedup_within is not None:
+        if transform is not None:
+            # the raw envelope lacks the change shape pre-transform, and
+            # transform runs inside foreachBatch where watermark dedup
+            # cannot apply — dedup the landed feed separately instead
+            raise ValueError("dedup_within requires a change-shaped source "
+                             "(incompatible with transform=)")
+        from omicidx_etl_spark.streaming.dedup import dedup_redelivered
+
+        src = dedup_redelivered(
+            src, keys=(table.key, seq), ts_col=event_ts_col, within=dedup_within
+        )
 
     committed: list[dict[str, Any]] = []
 
