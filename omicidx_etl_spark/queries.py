@@ -1286,6 +1286,60 @@ def chunk_documents(spark, sf_dir):
 
 
 @register(
+    "tfidf_top_terms",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+    term AS (SELECT w AS term, COUNT(*) AS df, MAX(tf) AS max_tf FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, df, max_tf,
+           CAST(FLOOR(max_tf * 10000.0 * n_docs / df + 0.5) AS BIGINT) AS tfidf_e4
+    FROM term, n
+    ORDER BY tfidf_e4 DESC, term ASC LIMIT 25
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF term saliency, log-free: idf as the exact rational N/df
+    instead of ln(N/df) — same ranking for a monotone transform, and
+    bit-identical fixed-point values across engines (libm ln is not).
+    max-tf per term folds into the df aggregation (N/df is constant per
+    term, so argmax over docs of tf·N/df = (N/df)·max tf): two map-side
+    combinable aggregations, a 1-row broadcast for N, and a top-k — no
+    global sort, no corpus-sized shuffle beyond the (doc, term) combine."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term = tf.groupBy(F.col("w").alias("term")).agg(
+        F.count(F.lit(1)).alias("df"), F.max("tf").alias("max_tf")
+    )
+    return (
+        term.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "max_tf",
+            F.floor(
+                F.col("max_tf") * F.lit(10000.0) * F.col("n_docs") / F.col("df")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("tfidf_e4"),
+        )
+        .orderBy(F.desc("tfidf_e4"), F.asc("term"))
+        .limit(25)
+    )
+
+
+@register(
     "token_count",
     """
     SELECT doc_id,

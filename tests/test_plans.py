@@ -339,3 +339,13 @@ def test_json_extract_partial_agg_and_anonymize_map_only(spark):
     assert "partial_count" in plan or "partial" in plan
     plan2 = _plan(spark, "anonymize_ids")
     assert "Exchange" not in plan2
+
+
+def test_tfidf_topk_no_global_sort(spark):
+    """tfidf_top_terms: the top-25 must short-circuit as
+    TakeOrderedAndProject (never a full sort of the term table) and both
+    aggregations must pre-reduce map-side."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0 or "globalSort" not in plan
+    assert "partial_count" in plan
