@@ -73,6 +73,33 @@ _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
 
+def _compact_result(full: dict) -> dict:
+    """Shrink the emitted line under the driver's ~2000-char tail capture
+    (round 3's line embedded the full pairs[] array and came back
+    ``parsed: null`` despite rc 0). Per-pair / ambient detail lives in
+    BENCH/last_run_detail.json; the line keeps only the headline numbers."""
+    out = dict(full)
+    sc = out.get("scaling")
+    if isinstance(sc, dict):
+        sc = {k: v for k, v in sc.items() if k not in ("pairs", "ambient")}
+        out["scaling"] = sc
+    rp = out.get("replay")
+    if isinstance(rp, dict):
+        keep = ("events_per_sec", "sec", "events", "chunk", "mode", "dedup",
+                "attempts", "steal_frac")
+        out["replay"] = {k: rp[k] for k in keep if k in rp}
+    out.pop("scratch", None)
+    line = json.dumps(out)
+    if len(line) > 1500:  # last resort: per-query detail is in the detail file
+        q = out.get("queries")
+        if isinstance(q, dict):
+            out["queries"] = {k: round(v, 2) for k, v in q.items()}
+        if len(json.dumps(out)) > 1500:
+            out.pop("queries", None)
+            out["queries_detail"] = "BENCH/last_run_detail.json"
+    return out
+
+
 def _emit_result(budget_exhausted: bool = False) -> None:
     """Print the single JSON line exactly once (main exit or watchdog)."""
     global _EMITTED
@@ -83,7 +110,14 @@ def _emit_result(budget_exhausted: bool = False) -> None:
         if budget_exhausted:
             _RESULT["budget_exhausted"] = True
         _RESULT["elapsed_sec"] = round(time.time() - _T0, 1)
-        sys.stdout.write("\n" + json.dumps(_RESULT) + "\n")
+        try:
+            detail_path = os.path.join(REPO, "BENCH", "last_run_detail.json")
+            os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+            with open(detail_path, "w") as f:
+                json.dump(_RESULT, f, indent=1)
+        except OSError:
+            pass  # never let detail-spill block the line
+        sys.stdout.write("\n" + json.dumps(_compact_result(_RESULT)) + "\n")
         sys.stdout.flush()
 
 

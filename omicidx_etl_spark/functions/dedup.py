@@ -23,19 +23,25 @@ from omicidx_etl_spark.functions.text import shingles_expr
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids).
+    """Groups of byte-identical documents in CANONICAL form:
+    (content_hash, n_docs, canonical_doc_id=min, max_doc_id).
 
-    ``doc_ids`` is a sorted comma-joined string, not array<string>: the
-    group membership is the same information, but a scalar column stays
-    hashable/sortable for downstream engines (pandas canonicalizers choke
-    on list cells) and writes smaller parquet."""
+    Per-group state is bounded (count/min/max — all map-side combinable):
+    an earlier version collected the full sorted id list per group, which
+    is an unbounded per-group buffer — at web scale one degenerate group
+    (e.g. every empty document) holds millions of ids in a single
+    aggregation buffer. The canonical (count + min) form is what
+    ``cdc/canonicalize.py`` applies anyway; a caller who needs full
+    membership joins back on content_hash (a distributed join, not a
+    per-group buffer)."""
     h = F.md5(F.col(text_col)).alias("content_hash")
     return (
         df.select(h, F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_join(F.sort_array(F.collect_list(id_col)), ",").alias("doc_ids"),
+            F.min(id_col).alias("canonical_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
     )

@@ -60,8 +60,16 @@ def stream_dedup_events(
 ):
     """availableNow stream: read the (possibly redelivered) change log,
     drop duplicate deliveries within the watermark horizon, append the
-    clean feed to parquet. The cleaned feed is what ``stream_replay``
-    should consume when the upstream is at-least-once."""
+    cleaned feed to parquet.
+
+    Dedup is BEST-EFFORT beyond the watermark horizon: a copy delivered
+    after the watermark has passed its event time is emitted, not dropped
+    (``dropDuplicatesWithinWatermark`` evicts key state at the horizon —
+    verified empirically under multi-batch maxFilesPerTrigger runs and
+    checkpoint restarts). No event is ever lost, but consumers of the feed
+    must either tolerate residual duplicates (``stream_replay``'s
+    idempotent merge does) or run a batch ``dedup_redelivered`` pass
+    before non-idempotent use."""
     schema = spark.read.parquet(log_path).schema
     src = spark.readStream.schema(schema).parquet(log_path)
     clean = dedup_redelivered(src, keys=keys, within=within)

@@ -30,7 +30,9 @@ def followup_join(
     """Inner-join ``base`` events to every ``followups`` event on the same
     key with ``base.ts <= follow.ts <= base.ts + horizon``.
 
-    Output: (key, base_seq, base_op, followup_seq, followup_op, lag_sec).
+    Output: (key, base_seq, base_op, followup_seq, followup_op, lag_us).
+    ``lag_us`` is MICROSECONDS (unix_micros difference) — divide by 1e6
+    for seconds.
 
     ``watermark`` (streaming only): applied to BOTH sides — Spark requires
     watermarks on each stream plus the time-range condition to bound join

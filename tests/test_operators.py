@@ -44,15 +44,70 @@ def test_exists_flag_null_safe(spark):
     assert out == {1: True, 2: False}
 
 
-def test_multimodal_stub_raises_without_fake(spark):
+def test_multimodal_byte_features(spark):
     d = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     bin_df = M.to_binary_payload(d, "doc_id", "text")
-    import pytest
-
-    with pytest.raises(Exception):
-        M.extract_features(bin_df, fake=False).collect()
-    ok = M.extract_features(bin_df, fake=True).first()
+    ok = M.extract_features(bin_df).first()
     assert ok["n_bytes"] == 5 and ok["head_hex"] == "68656c6c"
+
+
+def test_wav_decode_roundtrip():
+    """Real RIFF/WAVE parse: encode known PCM16, decode the BYTES back."""
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    b = M.encode_wav_pcm16(samples, sample_rate=44100, channels=2)
+    d = M.decode_media(b)
+    assert d["media_kind"] == "wav"
+    assert d["channels"] == 2 and d["sample_rate"] == 44100
+    assert d["n_samples"] == 3  # 6 samples / 2 channels
+    assert d["amp_peak"] == 32768
+    assert d["amp_abs_sum"] == sum(abs(s) for s in samples)
+
+
+def test_wav_decode_extra_chunks_and_odd_padding():
+    """Chunk walk must skip unknown chunks and honor word alignment."""
+    import struct
+
+    base = M.encode_wav_pcm16([5, -5], 8000)
+    # splice a 3-byte (odd) LIST chunk between WAVE and fmt_
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = base[:12] + junk + base[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    d = M.decode_media(spliced)
+    assert d["media_kind"] == "wav" and d["amp_abs_sum"] == 10
+
+
+def test_ppm_decode_roundtrip_and_comments():
+    rgb = bytes(range(12))  # 2x2 image
+    b = M.encode_ppm(2, 2, rgb)
+    d = M.decode_media(b)
+    assert d["media_kind"] == "ppm" and (d["width"], d["height"]) == (2, 2)
+    assert d["px_sum_r"] == 0 + 3 + 6 + 9
+    assert d["px_sum_g"] == 1 + 4 + 7 + 10
+    assert d["px_sum_b"] == 2 + 5 + 8 + 11
+    # header comments are legal PPM
+    commented = b"P6\n# a comment\n2 2\n255\n" + rgb
+    assert M.decode_media(commented)["px_sum_r"] == d["px_sum_r"]
+
+
+def test_corrupt_media_degrades_not_raises():
+    for payload in [b"", b"RIFF", b"RIFFxxxxWAVE", b"P6\n9 9\n255\n\x00", b"hello"]:
+        assert M.decode_media(payload)["media_kind"] == "unknown"
+
+
+def test_media_pipeline_sparkside(spark):
+    """synth → real decode over mapInPandas: every row classifies, kinds
+    follow the parity convention, and the plan is map-shaped (no Exchange)."""
+    d = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    out = M.extract_media_features(M.synth_media_payloads(d))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    assert all(
+        r["media_kind"] == ("wav" if i % 2 == 0 else "ppm") for i, r in rows.items()
+    )
+    assert rows[0]["sample_rate"] == 8000 and rows[2]["sample_rate"] == 9000
+    assert rows[1]["width"] == 4 + 1 % 5 and rows[1]["channels"] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_datagen_deterministic(spark):

@@ -347,5 +347,8 @@ def test_tfidf_topk_no_global_sort(spark):
     aggregations must pre-reduce map-side."""
     plan = _plan(spark, "tfidf_top_terms")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Sort ") == 0 or "globalSort" not in plan
+    # no Sort exec node anywhere — the ONLY ordering operator allowed is
+    # TakeOrderedAndProject (a "Sort [" node would mean Catalyst chose a
+    # full sort of the term table instead of the top-k short-circuit)
+    assert "Sort [" not in plan
     assert "partial_count" in plan
