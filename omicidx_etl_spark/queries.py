@@ -2360,3 +2360,260 @@ def first_last_per_user(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# =====================================================================
+# Round-4 additions: as-of join, token/vocab analysis, deterministic
+# group sampling, diversity index, null-safe join
+# =====================================================================
+
+@register(
+    "asof_join_latest_price",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts, MIN(event_id) AS p_id,
+             MAX(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS p_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.p_id AS purchase_event_id,
+           p.p_cents AS purchase_cents
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_latest_price(spark, sf_dir):
+    """AS-OF join (each click matched to the user's most recent prior-or-
+    simultaneous purchase) — the operator Spark lacks natively, expressed
+    as union + one running window instead of a range join: both sides
+    shuffle ONCE on user_id, then `last(..., ignorenulls)` over
+    (ts, side) carries the latest purchase forward. A range-join
+    formulation explodes with the horizon; this shape is O(n log n) per
+    user partition and survives 100 TB. Ties: purchases sort before
+    clicks at equal ts (inclusive >= semantics, matching DuckDB ASOF);
+    simultaneous purchases are pre-deduped per (user, ts) so both engines
+    pick the same winner."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("p_cents"),
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("p_id"), F.max(_cents(F.col("value"))).alias("p_cents"))
+        .select("user_id", "ts", F.lit(0).alias("side"),
+                F.lit(None).cast("long").alias("event_id"), "p_id", "p_cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = clicks.unionByName(pur)
+    return (
+        u.withColumn(
+            "purchase_ts_us",
+            F.last(F.when(F.col("side") == 0, _ts_us(F.col("ts"))), ignorenulls=True).over(w),
+        )
+        .withColumn("purchase_event_id", F.last("p_id", ignorenulls=True).over(w))
+        .withColumn("purchase_cents", F.last("p_cents", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id",
+            _ts_us(F.col("ts")).alias("click_ts_us"),
+            "purchase_ts_us", "purchase_event_id", "purchase_cents",
+        )
+    )
+
+
+@register(
+    "token_bigrams_topk",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w WHERE len(ws) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def token_bigrams_topk(spark, sf_dir):
+    """Corpus bigram statistics (sequence-mining building block): word
+    bigrams via a higher-order transform (JVM-side, no UDF), combinable
+    count, top-50 as TakeOrderedAndProject — never a global sort.
+    Deterministic tie-break on the bigram itself."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH wa AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), v AS (
+      SELECT DISTINCT w FROM wa WHERE doc_id % 10 = 0
+    )
+    SELECT wa.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS oov_permille
+    FROM wa LEFT JOIN v ON wa.w = v.w
+    GROUP BY wa.doc_id
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Out-of-vocabulary rate per document against a corpus-derived vocab
+    (the tokenizer-coverage audit every training pipeline runs). The vocab
+    (distinct words of the doc_id%10 shard) is a small dim — broadcast, so
+    the exploded corpus never shuffles for the join; the per-doc rollup is
+    the only exchange. oov_permille is integer arithmetic (bit-exact
+    cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    wa = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        wa.filter(F.col("doc_id") % 10 == 0)
+        .select("w")
+        .distinct()
+        .withColumn("in_v", F.lit(1))
+    )
+    return (
+        wa.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_permille", F.expr("(n_oov * 1000) div n_tok"))
+    )
+
+
+@register(
+    "grouped_sample_topk_hash",
+    """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def grouped_sample_topk_hash(spark, sf_dir):
+    """Deterministic fixed-k-per-stratum sample: rank docs inside each
+    lang by md5(doc_id) — a stable pseudo-random order both engines
+    compute identically — and keep the first 20. Complements
+    `stratified_sample` (rate-based, scan-local): this is the exact-k
+    variant; the window is per-stratum only, never global, and re-running
+    on a grown corpus keeps previously sampled docs' relative order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "diversity_by_source",
+    """
+    WITH per AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(nl) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST((SUM(nl)*SUM(nl) - SUM(nl*nl)) * 1000000
+                // (SUM(nl)*SUM(nl)) AS BIGINT) AS gini_simpson_e6
+    FROM per GROUP BY source
+    """,
+)
+def diversity_by_source(spark, sf_dir):
+    """Language-diversity (Gini–Simpson index, 1 - Σp²) per source — the
+    corpus-mix monitor for training-data balance. Exact integer arithmetic
+    ((n² - Σnl²)·10⁶ ÷ n², floor) so the cross-engine hash is bit-exact
+    with no float log/pow. Two map-side-combinable aggregations, no
+    window, no explode — scales as a pure count rollup."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("nl").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum(F.col("nl") * F.col("nl")).alias("_s2"),
+        )
+        .select(
+            "source", "n_docs", "n_langs",
+            F.expr(
+                "((n_docs*n_docs - _s2) * 1000000) div (n_docs*n_docs)"
+            ).alias("gini_simpson_e6"),
+        )
+    )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+             END AS k_bucket
+      FROM events
+    ), d AS (
+      SELECT k_bucket, CAST(COUNT(*) AS BIGINT) AS bucket_n FROM e GROUP BY k_bucket
+    )
+    SELECT e.event_id, e.k_bucket, d.bucket_n
+    FROM e JOIN d ON e.k_bucket IS NOT DISTINCT FROM d.k_bucket
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): events whose JSON
+    key is 'unparseable' (modeled: k < 10) get a NULL bucket that must
+    still join its NULL dim row — the data-cleaning join where NULL is a
+    real group, not a non-match. Spark folds EqualNullSafe into the hash
+    key, and the self-derived dim (≤6 rows) broadcasts, so the fact side
+    never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    e = ev.select(
+        "event_id",
+        F.when(k < 10, F.lit(None).cast("long")).otherwise(k % 5).alias("k_bucket"),
+    )
+    dim = (
+        e.groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .withColumnRenamed("k_bucket", "dim_bucket")  # break shared lineage
+    )
+    return (
+        e.join(F.broadcast(dim), F.col("k_bucket").eqNullSafe(F.col("dim_bucket")))
+        .select("event_id", "k_bucket", "bucket_n")
+    )

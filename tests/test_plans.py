@@ -352,3 +352,48 @@ def test_tfidf_topk_no_global_sort(spark):
     # full sort of the term table instead of the top-k short-circuit)
     assert "Sort [" not in plan
     assert "partial_count" in plan
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """asof_join_latest_price is union + running window — a range-join
+    formulation (BroadcastNestedLoopJoin or an exploding equi+range join)
+    is the scale failure this shape exists to avoid. The plan must contain
+    NO join operator at all."""
+    plan = _plan(spark, "asof_join_latest_price")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # one shuffle on user_id feeds both the purchase dedup and the window
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bigrams_topk_short_circuits(spark):
+    plan = _plan(spark, "token_bigrams_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # never a global sort of the bigram table
+    assert "partial_count" in plan
+
+
+def test_vocab_and_nullsafe_broadcast(spark):
+    """The vocab dim and the bucket dim are small — the exploded corpus /
+    fact side must never shuffle for the join."""
+    for name in ["vocab_coverage", "null_safe_join"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "NestedLoop" not in plan, name
+
+
+def test_diversity_is_pure_rollup(spark):
+    """diversity_by_source: two combinable aggregations, no window, no
+    explode — partial aggregation must appear and exchanges stay <= 2."""
+    plan = _plan(spark, "diversity_by_source")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan
+
+
+def test_grouped_sample_window_is_per_stratum(spark):
+    """grouped_sample_topk_hash: the ranking window partitions by lang —
+    a missing partition spec would funnel the corpus into ONE task."""
+    plan = _plan(spark, "grouped_sample_topk_hash")
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
