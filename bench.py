@@ -1232,10 +1232,16 @@ def main() -> None:
     if _L > s_events and _remaining() > 500:
         ensure_change_log(spark, _L, n_docs, args.seed, _seg_files(_L))
         s_ladder = [_L]
-        # 4x rung only when the budget is far beyond a driver run's: a 2M
-        # pair costs ~6-7 min and only fits SPARK_GRAFT_BENCH_BUDGET >= ~2000
+        # 4x rung (2M at the driver's sf0.1): GENERATION is cheap (~10-20 s
+        # of column exprs at full width; often already cached as the main
+        # replay's log) — whether a 2M PAIR fits the remaining wall is the
+        # study's own affordability check (_pair_floor), not this guard's
+        # job. r3 gated this rung behind remaining > 1400, which a 1200 s
+        # driver budget can never satisfy: every fast-window pair was stuck
+        # at the 1M slice (t1 ~63 s, Amdahl cap ~0.83) with 600 s of budget
+        # left unused. The 2M slice runs t1 ~126 s -> cap ~0.90.
         _L4 = min(4 * s_events, n_events)
-        if _L4 > _L and _remaining() > 1400:
+        if _L4 > _L and _remaining() > 600:
             ensure_change_log(spark, _L4, n_docs, args.seed, _seg_files(_L4))
             s_ladder.append(_L4)
     spark.stop()

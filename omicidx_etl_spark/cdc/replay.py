@@ -49,7 +49,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from omicidx_etl_spark.lake.table import _WIDEN_OK, LakeTable
+from omicidx_etl_spark.lake.table import _WIDEN_OK, BUCKET_COL, LakeTable, bucket_expr
 
 DEFAULT_SALT = 16
 
@@ -110,6 +110,19 @@ def _obs_stats(m: dict[str, Any]) -> dict[str, Any]:
         "seq_hi": int(m["seq_hi"]) if m.get("seq_hi") is not None else None,
         "delete_events": int(m.get("delete_events") or 0),
     }
+
+
+def _obs_stats_safe(obs: Observation) -> dict[str, Any]:
+    """Observation fetch that tolerates AQE empty-relation propagation:
+    when a batch is empty, AQE can elide the entire map stage (verified on
+    Spark 4.1: observe → repartition → write over an empty input never
+    runs the observe node), so the metrics row does not exist and the JVM
+    side returns null. An elided stage means zero input events — report
+    exactly that instead of failing the commit."""
+    try:
+        return _obs_stats(obs.get)
+    except Exception:  # noqa: BLE001 — null metrics row from an elided stage
+        return {"event_count": 0, "seq_lo": None, "seq_hi": None, "delete_events": 0}
 
 
 def dedup_latest(
@@ -203,6 +216,34 @@ def replay_batch(
         F.max(seq).alias("seq_hi"),
         F.sum(F.when(F.col(op_col) == delete_value, 1).otherwise(0)).alias("delete_events"),
     )
+    # Fused single-shuffle path (mor + max_by, opt-in): partition ONCE by
+    # the table's bucket transform, then group by (bucket, key) — bucket is
+    # a pure function of key, so the groups are identical to groupBy(key),
+    # and HashPartitioning(bucket) already satisfies the aggregation's
+    # ClusteredDistribution([bucket, key]): Catalyst inserts no second
+    # exchange, and the dedup shuffle doubles as the write clustering
+    # (merge(pre_bucketed=True) stages without its own repartition). The
+    # wide payload crosses the exchange layer once per batch instead of
+    # twice (plan locked by tests/test_plans.py::
+    # test_fused_replay_single_shuffle).
+    #
+    # DEFAULT OFF — measured, not assumed: on this single box (tmpfs
+    # shuffle = memcpy) interleaved A/B at 500k events ran the fused path
+    # ~10-15% SLOWER at both 1 and 4 pinned cores (best-of: 24.3 vs 21.3 s
+    # at 1 core, 8.5 vs 7.6 s at 4) — the second exchange it removes
+    # carries only the post-dedup winners (~10% of volume, ~free as
+    # memcpy), while fusing couples the final aggregation to the
+    # bucket-count write stage instead of the cores-sized shuffle. On a
+    # REAL cluster, where an exchange is network + disk rather than
+    # memcpy, eliminating a full materialized exchange of the winner set
+    # is the textbook win — hence kept as an opt-in
+    # (SPARK_GRAFT_FUSED_REPLAY=1) rather than deleted.
+    fused = (
+        mode == "mor"
+        and dedup_method == "max_by"
+        and not fanout
+        and os.environ.get("SPARK_GRAFT_FUSED_REPLAY", "0") == "1"
+    )
     if dedup_method == "prefilter":
         # The winner aggregation is a narrow (key, seq, op) scan of its own;
         # hang the observation there so the metrics see every event exactly
@@ -212,6 +253,21 @@ def replay_batch(
         winners = narrow.groupBy(key).agg(F.max(seq).alias(seq))
         latest = changes.join(F.broadcast(winners), [key, seq], "inner").select(
             *changes.columns
+        )
+    elif fused:
+        nb = table.n_buckets
+        cols = changes.columns
+        payload = [c for c in cols if c != key]
+        pre = (
+            changes.withColumn(BUCKET_COL, bucket_expr(key, nb))
+            .observe(obs, *obs_cols)
+            .repartition(F.col(BUCKET_COL))
+        )
+        row = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq)).alias("__r")
+        latest = (
+            pre.groupBy(BUCKET_COL, key)
+            .agg(row)
+            .select(BUCKET_COL, key, *[F.col(f"__r.{c}").alias(c) for c in payload])
         )
     else:
         changes = changes.observe(obs, *obs_cols)
@@ -225,10 +281,11 @@ def replay_batch(
         mode=mode,
         fanout=fanout,
         branch=branch,
+        pre_bucketed=fused,
         extra_summary=lambda: (
-            dict(_obs_stats(obs.get), schema_evolved=evolved)
+            dict(_obs_stats_safe(obs), schema_evolved=evolved)
             if evolved
-            else _obs_stats(obs.get)
+            else _obs_stats_safe(obs)
         ),
     )
     if lineage is not None:

@@ -814,6 +814,7 @@ class LakeTable:
         mode: str = "cow",
         fanout: bool = False,
         branch: str | None = None,
+        pre_bucketed: bool = False,
     ) -> dict[str, Any]:
         """MERGE INTO this table USING ``changes`` ON key, versioned:
 
@@ -845,6 +846,14 @@ class LakeTable:
         until ``publish``. Conflict validation and rebase run against the
         BRANCH head, so concurrent main commits don't fail branch writes —
         they surface at ``publish`` time instead.
+
+        ``pre_bucketed=True`` (mor only): the caller promises ``changes``
+        already carries ``BUCKET_COL`` (this table's transform) AND is
+        hash-partitioned by it — the fused replay path, where the dedup
+        aggregation's shuffle doubles as the write clustering, so the wide
+        payload crosses the wire exactly once per batch. The merge then
+        writes without its own repartition (each task holds whole buckets,
+        so the one-file-per-bucket layout is preserved).
         """
         refs = self._read_refs() if branch is not None else {}
         snap = (
@@ -857,7 +866,14 @@ class LakeTable:
         key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
         cur = self.current_schema(snap)
 
-        ch = changes.withColumn(BUCKET_COL, bucket_expr(key, nb))
+        if pre_bucketed:
+            if mode != "mor":
+                raise ValueError("pre_bucketed requires mode='mor'")
+            if BUCKET_COL not in changes.columns:
+                raise ValueError(f"pre_bucketed changes must carry {BUCKET_COL}")
+            ch = changes
+        else:
+            ch = changes.withColumn(BUCKET_COL, bucket_expr(key, nb))
         is_del = F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
         have = set(ch.columns)
         user_cols = [
@@ -883,9 +899,14 @@ class LakeTable:
             # fanout=True skips the pre-write shuffle — each input task
             # writes into the bucket dirs it touches (Iceberg fanout writer),
             # so the batch payload crosses the wire zero times, at the cost
-            # of tasks×buckets files per commit. Default keeps the clustered
-            # one-file-per-bucket layout.
-            rel = self._stage_write(delta, new_sid, nb, shuffle=not fanout)
+            # of tasks×buckets files per commit. pre_bucketed input is
+            # already clustered by the dedup shuffle — writing as-is keeps
+            # one file per bucket with no second exchange. Default keeps the
+            # clustered one-file-per-bucket layout via the merge's own
+            # shuffle.
+            rel = self._stage_write(
+                delta, new_sid, nb, shuffle=not (fanout or pre_bucketed)
+            )
             # zero-row batch (e.g. a merge_into where no clause fired):
             # nothing was staged, and the Observation row is empty/absent
             # because AQE collapses the empty write plan — don't fetch it
