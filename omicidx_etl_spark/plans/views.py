@@ -136,6 +136,96 @@ def census(spark: SparkSession, names: list[str] | None = None) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, row_count long")
 
 
+# ---------------------------------------------------------------------------
+# Multi-schema namespaces — the reference builds three DuckDB schemas and
+# organizes its view layers inside them (``omicidx_etl/build_db.py:57``
+# ``create schema``; ``sql/040_geometadb_views.sql:1-3``). The Spark
+# analogue is catalog namespaces: base parquet registered as EXTERNAL
+# tables in one namespace, curated views created as PERSISTENT catalog
+# views inside topical namespaces (works on the in-memory session catalog;
+# on a real cluster the identical statements land in HMS/Unity/Glue).
+# ---------------------------------------------------------------------------
+
+BASE_NAMESPACE = "base"
+
+# namespace -> view names (every VIEW_SQL entry appears exactly once)
+NAMESPACES: dict[str, list[str]] = {
+    "staging": ["v_customer_staging", "v_account_registry"],
+    "marts": ["v_orders_denorm", "v_lineitem_denorm", "v_urgent_lineitems"],
+    "ops": [
+        "v_events_errors",
+        "v_events_daily",
+        "v_customer_has_orders",
+        "v_order_part_bridge",
+        "v_order_supplier_bridge",
+    ],
+}
+
+
+def _qualify(sql: str, ns_of: dict[str, str]) -> str:
+    """Fully qualify every base-table and cross-view reference. Explicit
+    qualification (rather than current-namespace resolution) matters: a
+    same-session TEMP view named ``customer`` would otherwise shadow the
+    base table and poison the persistent view (INVALID_TEMP_OBJ_REFERENCE
+    — persistent views may not capture temp objects)."""
+    import re
+
+    for name, ns in ns_of.items():
+        # only relation positions (FROM/JOIN) — a bare-identifier replace
+        # would also rewrite column aliases that happen to equal a table
+        # name (e.g. "n.n_name AS nation")
+        sql = re.sub(
+            rf"(?i)\b(FROM|JOIN)(\s+){name}(?![\w.])",
+            rf"\1\2{ns}.{name}",
+            sql,
+        )
+    return sql
+
+
+def build_namespaced_views(
+    spark: SparkSession, sf_dir: str, suffix: str = ""
+) -> dict[str, list[str]]:
+    """Create the multi-schema catalog layout: external base tables under
+    ``base``, curated views under ``staging`` / ``marts`` / ``ops``
+    (``suffix`` isolates concurrent test builds). Returns
+    {namespace: [qualified view names]}."""
+    base = BASE_NAMESPACE + suffix
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {base}")
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {base}.{t}")
+        spark.sql(
+            f"CREATE TABLE {base}.{t} USING parquet LOCATION '{sf_dir}/{t}.parquet'"
+        )
+    ns_of = {n: ns + suffix for ns, names in NAMESPACES.items() for n in names}
+    ns_of.update({t: base for t in TABLES})
+    out: dict[str, list[str]] = {}
+    for ns, names in NAMESPACES.items():
+        nsq = ns + suffix
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {nsq}")
+        for name in names:
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {nsq}.{name} AS "
+                + _qualify(VIEW_SQL[name], ns_of)
+            )
+        out[nsq] = [f"{nsq}.{n}" for n in names]
+    return out
+
+
+def census_namespaces(
+    spark: SparkSession, layout: dict[str, list[str]]
+) -> DataFrame:
+    """Cross-namespace census: (namespace, table_name, row_count) for every
+    view in the layout — the reference's per-schema count report."""
+    rows = [
+        (ns, qn.split(".", 1)[1], spark.table(qn).count())
+        for ns, qnames in layout.items()
+        for qn in qnames
+    ]
+    return spark.createDataFrame(
+        rows, "namespace string, table_name string, row_count long"
+    )
+
+
 def export_artifact(
     spark: SparkSession,
     sf_dir: str,

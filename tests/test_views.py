@@ -76,3 +76,41 @@ def test_export_artifact_roundtrip(spark, tmp_path):
     assert meta3["version"] == 2
     assert V.read_artifact(spark, out)[0]["version"] == 2
     assert V.read_artifact(spark, out, version=1)[0]["version"] == 1
+
+
+def test_namespaced_view_layout(spark):
+    """Multi-schema catalog (build_db.py:57 create schema;
+    040_geometadb_views.sql:1-3): base tables land as external tables in
+    one namespace, curated views in topical namespaces; cross-namespace
+    view-on-view layering resolves; the census spans namespaces and
+    matches both the flat layer and an independent DuckDB count."""
+    import duckdb
+
+    layout = V.build_namespaced_views(spark, SF_SMALL, suffix="_t1")
+    assert set(layout) == {"staging_t1", "marts_t1", "ops_t1"}
+    # every VIEW_SQL entry lives in exactly one namespace
+    placed = [q.split(".", 1)[1] for qs in layout.values() for q in qs]
+    assert sorted(placed) == sorted(V.VIEW_SQL)
+    # SHOW VIEWS sees them in their namespace
+    shown = {r.viewName for r in spark.sql("SHOW VIEWS IN staging_t1").collect()}
+    assert "v_customer_staging" in shown
+    # cross-namespace view-on-view: urgent lineitems reads the marts denorm
+    urgent = spark.table("marts_t1.v_urgent_lineitems")
+    assert urgent.filter("o_orderpriority <> '1-URGENT'").count() == 0
+
+    cen = V.census_namespaces(spark, layout)
+    got = {(r.namespace, r.table_name): r.row_count for r in cen.collect()}
+    assert len(got) == len(V.VIEW_SQL)
+    # spot-check against DuckDB and against the flat census
+    con = duckdb.connect()
+    for t in V.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    for ns, name in [("staging_t1", "v_customer_staging"), ("ops_t1", "v_events_daily")]:
+        exp = con.execute(f"SELECT COUNT(*) FROM ({V.VIEW_SQL[name]})").fetchone()[0]
+        assert got[(ns, name)] == exp
+    con.close()
+    V.build_views(spark, SF_SMALL)
+    flat = {r.table_name: r.row_count for r in V.census(spark).collect()}
+    assert {n: c for (_, n), c in got.items()} == flat
