@@ -2386,48 +2386,32 @@ def first_last_per_user(spark, sf_dir):
     """,
 )
 def asof_join_latest_price(spark, sf_dir):
-    """AS-OF join (each click matched to the user's most recent prior-or-
-    simultaneous purchase) — the operator Spark lacks natively, expressed
-    as union + one running window instead of a range join: both sides
-    shuffle ONCE on user_id, then `last(..., ignorenulls)` over
-    (ts, side) carries the latest purchase forward. A range-join
-    formulation explodes with the horizon; this shape is O(n log n) per
-    user partition and survives 100 TB. Ties: purchases sort before
-    clicks at equal ts (inclusive >= semantics, matching DuckDB ASOF);
-    simultaneous purchases are pre-deduped per (user, ts) so both engines
-    pick the same winner."""
+    """AS-OF join via the library operator (`operators/relational.py:
+    asof_join` — union + one running window, a single shuffle on the key,
+    never a range join): each click matched to the user's most recent
+    prior-or-simultaneous purchase. Complements `asof_enrich` by
+    exercising the fact→fact price-lookup shape (simultaneous purchases
+    pre-deduped per (user, ts) so both engines pick the same winner) and
+    re-checking the operator against DuckDB's native ASOF LEFT JOIN on a
+    second table pair."""
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(1).alias("side"), "event_id",
-        F.lit(None).cast("long").alias("p_id"),
-        F.lit(None).cast("long").alias("p_cents"),
+        "event_id", "user_id", "ts"
     )
     pur = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.min("event_id").alias("p_id"), F.max(_cents(F.col("value"))).alias("p_cents"))
-        .select("user_id", "ts", F.lit(0).alias("side"),
-                F.lit(None).cast("long").alias("event_id"), "p_id", "p_cents")
+        .agg(F.min("event_id").alias("purchase_event_id"),
+             F.max(_cents(F.col("value"))).alias("purchase_cents"))
+        .select("user_id", F.col("ts").alias("valid_from"),
+                _ts_us(F.col("ts")).alias("purchase_ts_us"),
+                "purchase_event_id", "purchase_cents")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = clicks.unionByName(pur)
-    return (
-        u.withColumn(
-            "purchase_ts_us",
-            F.last(F.when(F.col("side") == 0, _ts_us(F.col("ts"))), ignorenulls=True).over(w),
-        )
-        .withColumn("purchase_event_id", F.last("p_id", ignorenulls=True).over(w))
-        .withColumn("purchase_cents", F.last("p_cents", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
-        .select(
-            "event_id", "user_id",
-            _ts_us(F.col("ts")).alias("click_ts_us"),
-            "purchase_ts_us", "purchase_event_id", "purchase_cents",
-        )
+    return R.asof_join(clicks, pur, key="user_id", left_ts="ts",
+                       right_ts="valid_from").select(
+        "event_id", "user_id",
+        _ts_us(F.col("ts")).alias("click_ts_us"),
+        "purchase_ts_us", "purchase_event_id", "purchase_cents",
     )
 
 
