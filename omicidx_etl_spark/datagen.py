@@ -85,8 +85,16 @@ def gen_changes(
     full_prefix: bool = True,
     pct_update: int = 70,
     pct_insert: int = 20,
+    seq_range: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """A2 change log: ``seq`` in [1, n_events], strictly increasing.
+
+    ``seq_range=(lo, hi]`` generates only that seq slice of the SAME
+    deterministic log (every expression is a pure function of seq, seed and
+    n_docs): a 10^8-event replay can generate each micro-batch lazily
+    instead of materializing a multi-hundred-GB log — and slicing via the
+    range bounds, not a filter over the full range, keeps per-batch work
+    O(batch), since Spark does not prune Range splits under a filter.
 
     Shape mirrors the reference feed: an all-insert "Full snapshot" prefix
     (one I per doc in [0, n_docs)) followed by Incremental deltas whose keys
@@ -99,7 +107,8 @@ def gen_changes(
     (``omicidx_etl/sql/010_raw_to_parquet.sql:36-43``), tombstone filter
     (``...:341``), full+incremental batches (``omicidx_etl/sra/mirror.py:93-145``).
     """
-    df = spark.range(1, n_events + 1).withColumnRenamed("id", "seq")
+    lo, hi = seq_range if seq_range is not None else (0, n_events)
+    df = spark.range(lo + 1, hi + 1).withColumnRenamed("id", "seq")
     seq = F.col("seq")
     prefix_n = min(n_docs, n_events) if full_prefix else 0
     in_prefix = seq <= F.lit(prefix_n)

@@ -168,3 +168,17 @@ def test_asof_join_semantics(spark):
     assert got[("u1", 10)] == 100          # tie is inclusive (>=)
     assert got[("u1", 20)] == 150          # latest preceding, not first
     assert got[("u2", 7)] is None          # key with no versions at all
+
+
+def test_gen_changes_seq_range_slices_identically(spark):
+    """The lazily-sliced log (seq_range) must be row-identical to the same
+    seq span of the full log — the 10^8-event mega replay depends on it
+    (scripts/mega_replay.py generates each micro-batch this way)."""
+    full = datagen.gen_changes(spark, 2000, 150, seed=9)
+    mid = datagen.gen_changes(spark, 2000, 150, seed=9, seq_range=(500, 900))
+    a = full.filter("seq > 500 AND seq <= 900").orderBy("seq").collect()
+    b = mid.orderBy("seq").collect()
+    assert a == b and len(b) == 400
+    # the full-snapshot prefix survives slicing (depends only on seq)
+    head = datagen.gen_changes(spark, 2000, 150, seed=9, seq_range=(0, 150))
+    assert head.filter("op <> 'I'").count() == 0
