@@ -52,6 +52,8 @@ _DRIVER_PRIORITY: list[str] = [
     "grouped_sample_topk_hash",
     "diversity_by_source",
     "null_safe_join",
+    "funnel_conversion",
+    "retention_cohorts",
     # past the 50-cap in r3 (13 never driver-seen, then 9 r02-green)
     "scd2_history",
     "dedup_incremental",
@@ -2600,4 +2602,87 @@ def null_safe_join(spark, sf_dir):
     return (
         e.join(F.broadcast(dim), F.col("k_bucket").eqNullSafe(F.col("dim_bucket")))
         .select("event_id", "k_bucket", "bucket_n")
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           (signup_ts IS NOT NULL) AS signed_up,
+           (signup_ts IS NOT NULL AND first_purchase_ts IS NOT NULL
+            AND first_purchase_ts >= signup_ts) AS converted,
+           CASE WHEN signup_ts IS NOT NULL AND first_purchase_ts IS NOT NULL
+                     AND first_purchase_ts >= signup_ts
+                THEN epoch_us(first_purchase_ts) - epoch_us(signup_ts) END
+             AS conversion_lag_us
+    FROM s
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis (signup → purchase conversion per user): one
+    map-side-combinable conditional-MIN aggregation — no self-join, no
+    window, one shuffle on user_id regardless of event count. The
+    classic sequential-funnel formulation (join events to events) is
+    quadratic per user; conditional aggregation is the shape that
+    survives 10^10 events."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase_ts"
+        ),
+    )
+    conv = (
+        F.col("signup_ts").isNotNull()
+        & F.col("first_purchase_ts").isNotNull()
+        & (F.col("first_purchase_ts") >= F.col("signup_ts"))
+    )
+    return s.select(
+        "user_id",
+        F.col("signup_ts").isNotNull().alias("signed_up"),
+        conv.alias("converted"),
+        F.when(conv, _ts_us(F.col("first_purchase_ts")) - _ts_us(F.col("signup_ts")))
+        .alias("conversion_lag_us"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH weeks AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
+    FROM weeks w JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Retention-cohort triangle: cohort = each user's first active epoch
+    week (integer epoch-µs // week-µs — no week-of-year locale semantics
+    to diverge between engines), then distinct active users per (cohort,
+    week offset). Two shuffles total (per-user min, then the cohort
+    rollup); the cohort dim joins back broadcast-small at any scale
+    because cohorts grow with time, not data."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", (_ts_us(F.col("ts")) / F.lit(604_800_000_000)).cast("long").alias("week")
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
     )
