@@ -753,7 +753,8 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
                         mode: str, dedup: str, fanout: bool,
                         pin_base: int, probe_floor: float = 0.0,
                         budget_s: float = 1e9,
-                        exp_rate: float = 3000.0) -> dict | None:
+                        exp_rate: float = 3000.0,
+                        meas_rate: float = 0.0) -> dict | None:
     """One pinned replay subprocess; None when it exceeds the poisoned-core
     timeout (a healthy sample runs minutes; 5-7× slow means the pinned
     core is degraded and the whole pair should be retried elsewhere) or
@@ -772,7 +773,21 @@ def _one_scaling_sample(cores: int, n_events: int, n_docs: int, chunk: int,
     probe_w = int(min(120, max(budget_s * 0.1, 0))) if probe_floor > 0 else 0
     # 150 s fixed: JVM startup + log-cache check + warmup replay batch
     timeout = int(min(150 + drain_t + probe_w + work, budget_s))
-    if timeout < 60 + work:
+    # Affordability gate, decoupled from the poisoned-core timeout: before
+    # any rate is measured, require the full pessimistic allowance; once
+    # the study has a measured per-core lo rate, gate on a REALISTIC cost
+    # (1.5x expected work at that rate + 120 s fixed). The old gate
+    # composed the 2x work allowance with the 0.6x rate hedge (3.3x the
+    # actual cost), which refused the escalated 2M slice precisely in the
+    # fast windows that could afford it (r4 run 1: never attempted with
+    # ~600 s remaining; a 2M pair actually costs ~300 s in the window that
+    # triggers escalation). An attempt that does run out of wall is killed
+    # at timeout=budget_s and recorded as a timeout pair — it only spends
+    # tail budget that would otherwise go unused.
+    need = 60 + work
+    if meas_rate > 0:
+        need = min(need, int(1.5 * n_events / (meas_rate * cores)) + 120)
+    if timeout < need:
         return "NO_BUDGET"  # distinct from a timed-out sample: caller stops
     cmd = [
         sys.executable, os.path.abspath(__file__), "--replay-only",
@@ -908,8 +923,16 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
     seen_rate = 0.0
 
     def _pair_floor(n: int) -> int:
-        r = max(4000.0, 0.6 * seen_rate)
-        return int(n / (r * n_lo) + n / (r * n_hi)) + 200
+        # Once a rate is measured, mirror the sample-launch requirement
+        # exactly (realistic lo-leg cost + the hi-leg reserve) so the
+        # round gate, the escalation affordability check, and the
+        # NO_BUDGET gate agree — two different cost models here measurably
+        # bounce the slice (escalate → floor-shrink → re-escalate).
+        if seen_rate > 0:
+            hedged = max(4000.0, 0.6 * seen_rate)
+            return int(1.5 * n / (seen_rate * n_lo) + 120
+                       + 1.3 * n / (hedged * n_hi) + 160)
+        return int(n / (4000.0 * n_lo) + n / (4000.0 * n_hi)) + 200
 
     pair_floor = _pair_floor(n_events)
     budget_stop = False
@@ -980,7 +1003,8 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                                     mode, dedup, fanout, pin_base=base,
                                     probe_floor=floor,
                                     budget_s=remaining - second_reserve,
-                                    exp_rate=max(3000.0, 0.6 * seen_rate))
+                                    exp_rate=max(3000.0, 0.6 * seen_rate),
+                                    meas_rate=seen_rate)
         second = None
         if first is not None and first != "NO_BUDGET":
             remaining = (deadline - time.time()) if deadline else 1e9
@@ -988,7 +1012,8 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                                          chunk, mode, dedup, fanout,
                                          pin_base=base, probe_floor=floor,
                                          budget_s=remaining,
-                                         exp_rate=max(3000.0, 0.6 * seen_rate))
+                                         exp_rate=max(3000.0, 0.6 * seen_rate),
+                                         meas_rate=seen_rate)
         if "NO_BUDGET" in (first, second):
             # A full-size sample no longer fits, but a fallback-size pair
             # might (headline stays slice-homogeneous, so extra small pairs
