@@ -944,6 +944,9 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         "dram_mbps": _dram_probe_mbps(),
         "fault_mbps": _FAULT_MBPS,
         "disk_mbps": _disk_probe_mbps(),
+        # wall already spent when the study began — says whether a small
+        # slice was a budget squeeze (late start) or a window judgment
+        "t_start_sec": round(time.time() - _T0, 1),
     }
     # Page-supply collapse visible BEFORE the first sample → start at the
     # small slice immediately instead of burning ~400 s discovering it via
@@ -1072,13 +1075,18 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         # threshold, if the remaining wall fits a pair at the MEASURED
         # rate (x1.3 safety) — a fast window is exactly when big slices
         # are cheap. De-escalation on timeout/NO_BUDGET stays as-is.
-        if t1 < ESCALATE_T1 and escalate_ladder:
+        if t1 < ESCALATE_T1 and (escalate_ladder or n_events < base_events):
             rate_lo = lo["events_per_sec"]
             remaining = (deadline - time.time()) if deadline else 1e9
             # affordability uses the SAME floor the round loop gates on —
             # two different cost models here measurably bounce the slice
-            # (escalate → floor-shrink → re-escalate)
-            afford = [L for L in sorted(escalate_ladder)
+            # (escalate → floor-shrink → re-escalate). base_events is a
+            # candidate too: an ambient-probe demotion to the fallback
+            # slice must be able to climb BACK to the base slice once a
+            # measured pair shows the window affords it (r4 run 2 stayed
+            # pinned at 100k — cap ~0.66 — because the ladder held only
+            # 1M/2M rungs while the affordable 500k base wasn't a target).
+            afford = [L for L in sorted({base_events, *escalate_ladder})
                       if L > n_events and remaining > _pair_floor(L)]
             # smallest affordable size that restores t1 >= threshold;
             # else the largest affordable one (partial de-dilution of the
