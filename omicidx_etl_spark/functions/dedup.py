@@ -437,3 +437,52 @@ def connected_components(
         F.col("n").cast("long").alias("cluster_size"),
         (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
     )
+
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", span: int = 16
+) -> DataFrame:
+    """Exact-substring span dedup à la Lee et al. ("Deduplicating Training
+    Data Makes Language Models Better", 2021), at non-overlapping
+    ``span``-word granularity: a span is duplicated iff its exact word
+    sequence occurs in MORE THAN ONE document. Returns per-doc
+    (doc_id, n_spans, dup_spans, dup_frac_e4) for docs with ≥ 1 full span
+    — the signal a curation pass thresholds on to drop or trim
+    boilerplate-heavy documents.
+
+    Scale shape (the reference has no substring dedup; its nearest analog
+    is whole-record hashing in ``omicidx_etl/sra/parser.py``): span hashes
+    are a per-row ``transform``+``slice`` (map-only), the per-hash document
+    count is a combinable two-phase aggregate, and the hash⇄doc join
+    shuffles on the hash key only — never an all-pairs comparison, never a
+    suffix array held in one place. One degenerate hash (e.g. a boilerplate
+    span in 10^7 docs) costs a count, not a buffer."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    # docs shorter than one span are filtered BEFORE sequence() is built:
+    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, which would
+    # fabricate garbage spans for short docs
+    base = df.select(F.col(id_col), words.alias("__w")).filter(
+        F.size("__w") >= span
+    )
+    n_spans = (F.size("__w") / span).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("__w"), i * span + 1, span))
+        ),
+    )
+    s = base.select(id_col, F.explode(spans).alias("h"))
+    g = s.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    return (
+        s.join(g, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac_e4",
+            F.floor(F.col("dup_spans") * 10000.0 / F.col("n_spans") + 0.5)
+            .cast("long"),
+        )
+    )

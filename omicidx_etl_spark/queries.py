@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from omicidx_etl_spark.functions import dedup as D
 from omicidx_etl_spark.functions import multimodal as M
+from omicidx_etl_spark.functions import selection as SEL
 from omicidx_etl_spark.functions import similarity as S
 from omicidx_etl_spark.functions import text as X
 from omicidx_etl_spark.operators import cdc_ops as C
@@ -44,6 +45,9 @@ def register(name: str, oracle: str | None):
 # scripts/sf1_parity.py regardless of order).
 _DRIVER_PRIORITY: list[str] = [
     # r4 additions (never driver-seen)
+    "token_budget_select",
+    "mixture_sample",
+    "span_dedup",
     "multimodal_real_decode",
     "dedup_exact",  # output changed r4 (bounded canonical form) — re-verify
     "asof_join_latest_price",
@@ -1598,6 +1602,107 @@ def stratified_sample(spark, sf_dir):
     return d.select("doc_id", "lang", key.alias("sample_key")).filter(
         F.col("sample_key") < thresh
     )
+
+
+@register(
+    "token_budget_select",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY n_tok DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+      FROM t)
+    SELECT doc_id, n_tok, cum_before FROM c
+    WHERE cum_before + n_tok <= 10000
+    """,
+)
+def token_budget_select(spark, sf_dir):
+    """Budgeted corpus selection (longest-first under a 10k-token global
+    budget) as a distributed prefix sum: range-partition by literal
+    boundaries, per-partition totals driver-side (≤ partitions rows),
+    window only within partitions, and partitions starting past the budget
+    are pruned before the window runs. The oracle's global ORDER BY window
+    is exactly what this avoids — a single-partition stage at 100 TB.
+    See :func:`omicidx_etl_spark.functions.selection.budget_select`."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return SEL.budget_select(d, "n_tok", "doc_id", budget=10_000).select(
+        "doc_id", "n_tok", "cum_before"
+    )
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                      CAST(COUNT(DISTINCT lang) AS BIGINT) AS k
+               FROM documents),
+    r AS (SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_before
+          FROM documents GROUP BY lang),
+    thr AS (SELECT r.stratum, r.n_before,
+                   CASE WHEN r.n_before * n.k <= n.n_total THEN 'zz'
+                        ELSE printf('%08x', n.n_total * {SEL._HEX8}
+                                             // (n.k * r.n_before)) END AS thr
+            FROM r, n)
+    SELECT t.stratum, t.n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_kept, t.thr
+    FROM documents d JOIN thr t ON d.lang = t.stratum
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+    GROUP BY t.stratum, t.n_before, t.thr
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """Self-calibrating mixture rebalancing toward a uniform per-language
+    mix: keep rates derived from the corpus's own per-stratum counts as
+    exact integer hash thresholds (no float rates — bit-identical across
+    engines), membership by md5-prefix Bernoulli. One corpus scan, one
+    combinable count, one broadcast join — the corpus is never shuffled.
+    See :func:`omicidx_etl_spark.functions.selection.mixture_sample`."""
+    d = _t(spark, sf_dir, "documents")
+    return SEL.mixture_sample(d, "lang", "doc_id")
+
+
+@register(
+    "span_dedup",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(TRIM(text), '\s+'),
+                            x -> lower(x)) AS ws
+      FROM documents),
+    s0 AS (
+      SELECT doc_id, ws, unnest(generate_series(0, len(ws)//16 - 1)) AS i
+      FROM w WHERE len(ws) >= 16),
+    s AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[16*i+1:16*i+16], ' ')) AS h
+      FROM s0),
+    g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY h)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           CAST(FLOOR(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) * 10000.0
+                      / COUNT(*) + 0.5) AS BIGINT) AS dup_frac_e4
+    FROM s JOIN g USING (h) GROUP BY s.doc_id
+    """,
+)
+def span_dedup(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. 2021) at 16-word span
+    granularity: per-doc duplicated-span fraction, where a span is
+    duplicated iff its exact word sequence appears in >1 document. Span
+    hashing is map-only, the per-hash doc count is a combinable two-phase
+    aggregate, and the join shuffles on the hash key — no all-pairs stage,
+    no suffix array. See
+    :func:`omicidx_etl_spark.functions.dedup.span_dedup_stats`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.span_dedup_stats(d, "doc_id", span=16)
 
 
 def _simhash_cte(bits: int = 16) -> str:

@@ -94,6 +94,7 @@ def main() -> int:
 
     from omicidx_etl_spark import datagen
     from omicidx_etl_spark.lake import LakeTable
+    from omicidx_etl_spark.lineage import LineageLog
     from omicidx_etl_spark.streaming import stream_replay
 
     work = tempfile.mkdtemp(prefix="verify_cdc_")
@@ -111,7 +112,8 @@ def main() -> int:
         ]
     )
     t = LakeTable.create(spark, tpath, schema, key="doc_id", n_buckets=8)
-    s1 = stream_replay(spark, t, log, ckpt, max_files_per_trigger=4)
+    s1 = stream_replay(spark, t, log, ckpt, max_files_per_trigger=4,
+                       lineage=LineageLog(tpath))
     got = {
         (r.doc_id, tuple(r.tokens or ())) for r in t.read().select("doc_id", "tokens").collect()
     }

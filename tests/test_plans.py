@@ -459,3 +459,30 @@ def test_fused_replay_single_shuffle(spark, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (b, files)
+
+
+def test_budget_select_no_single_partition_stage(spark):
+    """token_budget_select is a distributed prefix sum like pack_sequences:
+    the oracle's global ORDER BY window would single-partition — the engine
+    plan must window per range-pid only, with no SinglePartition exchange."""
+    plan = _plan(spark, "token_budget_select")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_mixture_sample_broadcast_thresholds(spark):
+    """mixture_sample: the per-stratum threshold table must reach the
+    corpus via a broadcast join (corpus never shuffles for the join), and
+    the only SinglePartition stage is the 1-row total aggregate."""
+    plan = _plan(spark, "mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_span_dedup_no_cartesian(spark):
+    """span_dedup joins span hashes to their global doc counts — hash
+    shuffles only; an all-pairs (nested-loop / cartesian) plan is the
+    quadratic shape exact-substring dedup exists to avoid."""
+    plan = _plan(spark, "span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
