@@ -279,6 +279,24 @@ PROBE_ABS_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ABS", "4000"))
 # Minimum fresh-page supply rate (MB/s) for a scaling sample to count as
 # clean; healthy windows fault at GB/s, degraded ones at 5-15 MB/s.
 FAULT_OK = float(os.environ.get("SPARK_GRAFT_BENCH_FAULT_OK", "100"))
+# Minimum AGGREGATE DRAM bandwidth (N-thread concurrent memcpy MB/s,
+# measured inside the pinned hi-leg subprocess) for a pair to count as
+# clean. Third hi-leg-clipping mechanism found on this box (r4 run 4,
+# 2026-08-19): steal 0.05%, single-thread probes 7.7-8.0 GB/s, fault probe
+# healthy — yet a 256 MB memcpy+strided-sum loop scaled 1→4 pinned cores
+# at only 0.63 because the host capped the 4-core AGGREGATE at 9.4 GB/s
+# (2.5x the single-core rate). Any DRAM-bound job in such a window caps at
+# ~agg/(4·single) regardless of engine quality, invisibly to every
+# single-threaded probe. Calibration sweep (same day): healthy pin sets
+# measure 19-21 GB/s aggregate; the capped regime measures 9.4-10.5 GB/s.
+# 14 GB/s splits the modes. The gate is ABSOLUTE (not agg/single ratio):
+# one thread legitimately pulls ~8-9 GB/s of the ~21 GB/s socket ceiling,
+# so even quiet windows only show ratio ~2.2-2.6 — a ratio gate at any
+# useful threshold would fail healthy windows. BW_OK is kept as a ratio
+# ESCAPE hatch for unlike hardware (agg ≥ BW_OK × single passes even when
+# the absolute number is below AGG_OK, e.g. a narrow-channel box).
+AGG_OK = float(os.environ.get("SPARK_GRAFT_BENCH_AGG_OK", "14000"))
+BW_OK = float(os.environ.get("SPARK_GRAFT_BENCH_BW_OK", "3.0"))
 # Minimum 1-core leg duration for a scaling pair to measure the engine
 # rather than the fixed ~4-6 s serial driver term (Amdahl cap at t1=120 s
 # is ~0.93 vs ~0.73 at t1=49 s — measured 2026-08-18). Pairs whose lo leg
@@ -426,6 +444,49 @@ def _dram_probe_mbps(mb: int = 128, reps: int = 3) -> float:
         np.copyto(b, a)
         best = min(best, time.perf_counter() - t0)
     return mb / best
+
+
+def _agg_probe_mbps(threads: int, mb: int = 128, reps: int = 3) -> float:
+    """AGGREGATE DRAM-bandwidth probe: ``threads`` concurrent memcpys over
+    disjoint slices of the shared probe buffers, best-of-``reps`` MB/s.
+
+    Exists because the single-thread probe cannot see an aggregate-
+    bandwidth ceiling: r4 run 4 measured single-thread 7.7-8.0 GB/s (gate
+    green) while the 4-core aggregate saturated at 2.5x single — capping
+    any DRAM-bound 1→4 pair at ~0.63 with every existing gate clean.
+    ``np.copyto`` releases the GIL, so plain threads measure true
+    concurrent traffic; threads inherit the process pin set, so inside a
+    pinned hi-leg subprocess this reads exactly the bandwidth those
+    ``threads`` cores can jointly pull in this window."""
+    global _PROBE_BUFS
+    import threading
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    if _PROBE_BUFS is None or len(_PROBE_BUFS[0]) != n:
+        _PROBE_BUFS = _probe_arrays(n, mb)
+    a, b = _PROBE_BUFS[0], _PROBE_BUFS[1]
+    step = n // threads
+    slices = [(a[i * step:(i + 1) * step], b[i * step:(i + 1) * step])
+              for i in range(threads)]
+    best = float("inf")
+    for _ in range(reps):
+        barrier = threading.Barrier(threads + 1)
+
+        def _copy(src, dst):
+            barrier.wait()
+            np.copyto(dst, src)
+
+        ts = [threading.Thread(target=_copy, args=s, daemon=True)
+              for s in slices]
+        for t in ts:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in ts:
+            t.join()
+        best = min(best, time.perf_counter() - t0)
+    return (step * threads * 8 / (1024 * 1024)) / best
 
 
 def ensure_change_log(spark, n_events: int, n_docs: int, seed: int, files: int) -> str:
@@ -680,6 +741,11 @@ def replay_only(args) -> None:
     # Post-drain fault re-measure: the pre-drain reading may reflect the
     # warmup's own dirty-page pressure, not host supply (keeps the max).
     _fault_probe_mbps(refresh=True)
+    # Pre-run aggregate bracket (post-run half lives after spark-stop):
+    # like the single probe, the gate takes the MIN of both brackets so a
+    # window that was capped at either end of the timed run is labeled.
+    agg_pre = _agg_probe_mbps(cores) if cores > 1 else None
+    probe_pre_single = probe_pre
     _mark("probes")
     # single attempt here: the parent scaling loop handles retries
     res = run_replay(spark, log_path, args.events, args.chunk, args.mode,
@@ -696,7 +762,19 @@ def replay_only(args) -> None:
     # probe. The probe buffers are tmpfs mmaps, independent of Spark.
     spark.stop()
     _mark("spark-stop")
-    res["probe_mbps"] = round(min(probe_pre, _dram_probe_mbps()), 1)
+    probe_post = _dram_probe_mbps()
+    res["probe_mbps"] = round(min(probe_pre, probe_post), 1)
+    if cores > 1:
+        # aggregate-ceiling evidence for the parent's bw gate: how much
+        # bandwidth can these N pinned cores pull TOGETHER, relative to
+        # the single-thread probe taken in the same instant (see BW_OK);
+        # min over the pre/post brackets, like the single-thread gate
+        agg_post = _agg_probe_mbps(cores)
+        res["agg_mbps"] = round(min(agg_pre or agg_post, agg_post), 1)
+        ratios = [agg_post / max(probe_post, 1.0)]
+        if agg_pre is not None:
+            ratios.append(agg_pre / max(probe_pre_single, 1.0))
+        res["bw_headroom"] = round(min(ratios), 2)
     res["fault_mbps"] = _FAULT_MBPS  # page-supply rate seen at first alloc
     res["disk_mbps"] = _disk_probe_mbps()
     res["phases"] = phases  # where the wall went (post-mortem for timeouts)
@@ -732,15 +810,35 @@ def _pick_pin_base(n_lo: int, n_hi: int) -> int:
         return 0
     try:
         speeds = {c: _core_speed(c) for c in range(1, HOST_CPUS)}
+        scored = []
+        seen = set()
+        for b in range(HOST_CPUS - 1):
+            cpus = frozenset(_pin_set(n_lo, b) | _pin_set(n_hi, b))
+            if cpus in seen:
+                continue
+            seen.add(cpus)
+            scored.append((min(speeds.get(c, 0.0) for c in cpus), b))
+        scored.sort(reverse=True)
+        best_speed = scored[0][0]
+        # Aggregate-bandwidth tie-break over the busy-loop survivors:
+        # measured 2026-08-19, one pin set's N-thread aggregate memcpy ran
+        # at 10.5 GB/s while its neighbors hit 19-21, with every per-core
+        # busy-loop healthy — a compute probe cannot see a memory-path
+        # squeeze. Among bases within 15% of the best core speed, probe
+        # the hi pin set's aggregate bandwidth (~0.1 s each) and take the
+        # widest pipe.
+        cand = [b for s, b in scored[:4] if s >= best_speed * 0.85]
+        if len(cand) > 1:
+            best_base, best_agg = cand[0], -1.0
+            for b in cand:
+                os.sched_setaffinity(0, _pin_set(n_hi, b))
+                agg = _agg_probe_mbps(n_hi, mb=64, reps=2)
+                if agg > best_agg:
+                    best_base, best_agg = b, agg
+            return best_base
+        return scored[0][1]
     finally:
         os.sched_setaffinity(0, saved)
-    best_base, best_score = 0, -1.0
-    for b in range(HOST_CPUS - 1):
-        cpus = _pin_set(n_lo, b) | _pin_set(n_hi, b)
-        score = min(speeds.get(c, 0.0) for c in cpus)
-        if score > best_score:
-            best_base, best_score = b, score
-    return best_base
 
 
 def _seg_files(n_events: int) -> int:
@@ -909,8 +1007,20 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
                 min(p.get("fault_mbps_lo") or 1e9, p.get("fault_mbps_hi") or 1e9)
                 >= FAULT_OK
             )
-            p["probe_ok"], p["fault_ok"] = probe_ok, fault_ok
-            p["clean"] = p["steal_ok"] and probe_ok and fault_ok
+            # Aggregate-bandwidth gate: the hi leg measures (inside its
+            # pin set, bracketing the timed run) how much bandwidth its N
+            # cores can pull TOGETHER. A window whose aggregate caps at
+            # ~9-10 GB/s (vs 19-21 healthy) clips every DRAM-bound hi leg
+            # to ~0.63 with all single-threaded probes green (r4 run 4).
+            # Gate is absolute (see AGG_OK) with a ratio escape for
+            # unlike hardware; a missing reading (old artifact / lo-only)
+            # passes — the gate only excludes measured-capped windows.
+            agg = p.get("agg_mbps_hi")
+            bw = p.get("bw_headroom")
+            bw_ok = (agg is None or agg >= AGG_OK
+                     or (bw is not None and bw >= BW_OK))
+            p["probe_ok"], p["fault_ok"], p["bw_ok"] = probe_ok, fault_ok, bw_ok
+            p["clean"] = p["steal_ok"] and probe_ok and fault_ok and bw_ok
         return sum(p["clean"] for p in pairs)
 
     # Cheapest credible pair: timed+warmup work at an *expected* 4k
@@ -1117,6 +1227,8 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             "fault_mbps_hi": hi.get("fault_mbps"),
             "probe_mbps_lo": lo.get("probe_mbps"),
             "probe_mbps_hi": hi.get("probe_mbps"),
+            "agg_mbps_hi": hi.get("agg_mbps"),
+            "bw_headroom": hi.get("bw_headroom"),
         })
         # Time-targeted slice escalation: a short lo leg means the fixed
         # serial term dominates the pair (see docstring). Switch to the
@@ -1170,6 +1282,12 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
     # a clean one.
     tiers = [
         ("clean", [p for p in pairs if p["clean"]]),
+        # every gate green EXCEPT aggregate bandwidth: the pairs are
+        # honest measurements of a window whose host caps the N-core
+        # aggregate DRAM rate below AGG_OK — their median is a FLOOR on
+        # the engine's scaling, not its capability (see AGG_OK)
+        ("bw-capped", [p for p in full if p["steal_ok"] and p.get("probe_ok")
+                       and p.get("fault_ok")]),
         ("steal+probe", [p for p in full if p["steal_ok"] and p.get("probe_ok")]),
         ("all", full),
     ]
@@ -1214,6 +1332,13 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         "headline_pairs": len(use),
         "evidence_tier": tier_name,
         "clean_pairs": len([p for p in pairs if p["clean"]]),
+        # median N-core aggregate DRAM bandwidth over the headline pairs:
+        # the window's DRAM Amdahl context (19-21 GB/s healthy on this
+        # box, 9.4-10.5 = the r4-run-4 capped regime; gate at AGG_OK)
+        "agg_mbps": (_median([p["agg_mbps_hi"] for p in use
+                              if p.get("agg_mbps_hi") is not None])
+                     if any(p.get("agg_mbps_hi") is not None for p in use)
+                     else None),
         "budget_stop": budget_stop,
         "ambient": ambient,
         "pairs": pairs,
