@@ -297,6 +297,16 @@ FAULT_OK = float(os.environ.get("SPARK_GRAFT_BENCH_FAULT_OK", "100"))
 # the absolute number is below AGG_OK, e.g. a narrow-channel box).
 AGG_OK = float(os.environ.get("SPARK_GRAFT_BENCH_AGG_OK", "14000"))
 BW_OK = float(os.environ.get("SPARK_GRAFT_BENCH_BW_OK", "3.0"))
+# Maximum credible pair efficiency: a 1->4-core pair physically cannot
+# exceed 1.0 beyond small cache effects (4x the L2/L3 working share) —
+# r3 quiet-window medians peaked at 1.08. Anything far above that means
+# the LO leg was depressed by a co-tenant burst on its core mid-pair
+# (r4 run 5: lo leg 2004 ev/s — worst ever measured, all probes green —
+# against a healthy hi leg gave "efficiency" 1.844). Such a pair is as
+# mis-measured as a clipped-hi-leg one, just in the flattering direction;
+# it must not enter any trusted tier, and marking it dirty makes the
+# study's existing retry loop re-measure instead of accepting it.
+SUPER_OK = float(os.environ.get("SPARK_GRAFT_BENCH_SUPER_OK", "1.3"))
 # Minimum 1-core leg duration for a scaling pair to measure the engine
 # rather than the fixed ~4-6 s serial driver term (Amdahl cap at t1=120 s
 # is ~0.93 vs ~0.73 at t1=49 s — measured 2026-08-18). Pairs whose lo leg
@@ -1019,8 +1029,14 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
             bw = p.get("bw_headroom")
             bw_ok = (agg is None or agg >= AGG_OK
                      or (bw is not None and bw >= BW_OK))
+            # Superlinear sanity gate: efficiency far above 1.0 can only
+            # mean the lo leg was burst-depressed (see SUPER_OK) — the
+            # flattering mirror image of a clipped hi leg, equally dirty.
+            super_ok = (p.get("efficiency") or 0.0) <= SUPER_OK
             p["probe_ok"], p["fault_ok"], p["bw_ok"] = probe_ok, fault_ok, bw_ok
-            p["clean"] = p["steal_ok"] and probe_ok and fault_ok and bw_ok
+            p["super_ok"] = super_ok
+            p["clean"] = (p["steal_ok"] and probe_ok and fault_ok and bw_ok
+                          and super_ok)
         return sum(p["clean"] for p in pairs)
 
     # Cheapest credible pair: timed+warmup work at an *expected* 4k
@@ -1287,8 +1303,9 @@ def scaling_study(n_events: int, n_docs: int, chunk: int, mode: str,
         # aggregate DRAM rate below AGG_OK — their median is a FLOOR on
         # the engine's scaling, not its capability (see AGG_OK)
         ("bw-capped", [p for p in full if p["steal_ok"] and p.get("probe_ok")
-                       and p.get("fault_ok")]),
-        ("steal+probe", [p for p in full if p["steal_ok"] and p.get("probe_ok")]),
+                       and p.get("fault_ok") and p.get("super_ok", True)]),
+        ("steal+probe", [p for p in full if p["steal_ok"] and p.get("probe_ok")
+                         and p.get("super_ok", True)]),
         ("all", full),
     ]
     tier_name, use = next(((n, t) for n, t in tiers if t), ("none", []))
