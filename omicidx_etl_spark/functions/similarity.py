@@ -230,6 +230,45 @@ def pairwise_topk_per_label(
     )
 
 
+def semantic_clusters(
+    df: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style (Abbas et al. 2023) cluster assignment with
+    deterministic centroids: the ``n_centroids`` lowest-id vectors ARE the
+    centroids (engine-independent, no iterative k-means on the oracle
+    path), every vector is scored against all of them, and the argmax
+    cluster wins (cosine rounded to 6 dp before the argmax so cross-engine
+    tie-breaks resolve on ``cid`` deterministically).
+
+    Shape at scale: the centroid table is a K-row broadcast (the
+    BroadcastNestedLoopJoin in the plan is the *intended* K-row fan-out,
+    not an accidental cartesian — every row expands exactly K times
+    map-side); the argmax is ONE combinable ``max(struct)`` aggregation
+    (partial max per vec_id map-side, no per-key window); the assignment
+    joins back on the id. Output: ``df`` + ``cluster``."""
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cos_c"),
+        F.col("cid"),
+    )
+    asn = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("m")
+        )
+        .select(F.col(id_col), (-F.col("m.neg_cid")).alias("cluster"))
+    )
+    return df.join(asn, id_col)
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,

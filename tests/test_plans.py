@@ -486,3 +486,21 @@ def test_span_dedup_no_cartesian(spark):
     plan = _plan(spark, "span_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_blocked_pairwise(spark):
+    """semantic_dedup: the K-centroid fan-out must be the ONLY nested-loop
+    (a deliberate 32-row broadcast — every row expands exactly K times
+    map-side), the argmax must pre-reduce map-side (combinable max(struct),
+    no per-key window), and the intra-cluster pairwise stage must be an
+    equi join on the cluster key — never a global cross product."""
+    plan = _plan(spark, "semantic_dedup")
+    # the only nested-loops are the 32-row centroid broadcast fan-out —
+    # it appears once per self-join branch (each branch re-derives the
+    # assignment lineage; a production run materializes it once)
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    # argmax is an aggregation with a map-side partial, not a window
+    assert "partial_max" in plan
+    # the pairwise self-join blocks on the cluster key (hash/SMJ equi join)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
