@@ -79,11 +79,15 @@ def main() -> int:
     from omicidx_etl_spark.session import get_spark
 
     t0 = time.time()
+    # clean BEFORE the session exists: spark.local.dir lives inside
+    # args.dir, and an rmtree after session start deletes the live
+    # block-manager directory out from under the JVM (first broadcast
+    # then dies with NoSuchFileException on a blockmgr path)
+    shutil.rmtree(args.dir, ignore_errors=True)
     spark = get_spark("mega-replay", extra_conf={
         "spark.local.dir": os.path.join(args.dir, "_spark_local"),
         "spark.network.timeout": "1200s",
     })
-    shutil.rmtree(args.dir, ignore_errors=True)
     root = os.path.join(args.dir, "table")
     schema = (
         datagen.gen_changes(spark, 10, 10, seed=args.seed)
