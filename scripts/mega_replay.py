@@ -70,6 +70,11 @@ def main() -> int:
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # 32g, not the default 48g: spark.local.dir is tmpfs (= RAM), so the
+    # heap competes with shuffle files and the table itself for the same
+    # 125 GB — the first 10^8 attempt OOM-killed at 44 GB JVM RSS + 59 GB
+    # of accumulated shuffle files + 15 GB table
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -87,6 +92,12 @@ def main() -> int:
     spark = get_spark("mega-replay", extra_conf={
         "spark.local.dir": os.path.join(args.dir, "_spark_local"),
         "spark.network.timeout": "1200s",
+        # Shuffle files are deleted only when the driver GC collects the
+        # ShuffleDependency; a 100-batch run on a large heap accumulated
+        # 59 GB of dead shuffle files on tmpfs before the kernel OOM-killed
+        # the JVM (first attempt, 2026-08-19). Force the ContextCleaner to
+        # run every minute instead of the 30-min default.
+        "spark.cleaner.periodicGC.interval": "60s",
     })
     root = os.path.join(args.dir, "table")
     schema = (
@@ -116,14 +127,22 @@ def main() -> int:
             tc = time.time()
             t.compact()
             t.expire_snapshots(keep_last=1)
+            # drop dead shuffle files NOW (see periodicGC comment): the
+            # compaction boundary is where the most garbage exists and
+            # where tmpfs headroom matters most for the next cycle
+            spark.sparkContext._jvm.System.gc()
             compact_secs.append(time.time() - tc)
         if (b + 1) % 5 == 0:
             done = sum(batch_secs)
             rate = (len(batch_secs) * args.chunk) / done
+            scratch_gb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(args.dir) for f in fs
+            ) / 1024**3
             sys.stderr.write(
                 f"[mega] batch {b + 1}/{n_batches} "
                 f"{batch_secs[-1]:.1f}s ({rate:,.0f} ev/s cum) "
-                f"wall {time.time() - t0:.0f}s\n")
+                f"wall {time.time() - t0:.0f}s scratch {scratch_gb:.1f}G\n")
 
     applied = len(batch_secs) * args.chunk
     q = max(len(batch_secs) // 4, 1)
