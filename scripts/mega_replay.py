@@ -135,8 +135,15 @@ def main() -> int:
         if (b + 1) % 5 == 0:
             done = sum(batch_secs)
             rate = (len(batch_secs) * args.chunk) / done
+            def _sz(p: str) -> int:
+                # races with the ContextCleaner deleting shuffle files —
+                # a file listed by walk may be gone before stat
+                try:
+                    return os.path.getsize(p)
+                except OSError:
+                    return 0
             scratch_gb = sum(
-                os.path.getsize(os.path.join(r, f))
+                _sz(os.path.join(r, f))
                 for r, _, fs in os.walk(args.dir) for f in fs
             ) / 1024**3
             sys.stderr.write(
