@@ -70,11 +70,13 @@ def main() -> int:
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    # 32g, not the default 48g: spark.local.dir is tmpfs (= RAM), so the
+    # 28g, not the default 48g: spark.local.dir is tmpfs (= RAM), so the
     # heap competes with shuffle files and the table itself for the same
     # 125 GB — the first 10^8 attempt OOM-killed at 44 GB JVM RSS + 59 GB
-    # of accumulated shuffle files + 15 GB table
-    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+    # of accumulated shuffle files + 15 GB table; the second at 39 GB RSS
+    # (32g heap) + ~50 GB of shuffle junk piled up between the 8-batch
+    # compaction-boundary GCs
+    os.environ.setdefault("SPARK_DRIVER_MEM", "28g")
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -127,11 +129,14 @@ def main() -> int:
             tc = time.time()
             t.compact()
             t.expire_snapshots(keep_last=1)
-            # drop dead shuffle files NOW (see periodicGC comment): the
-            # compaction boundary is where the most garbage exists and
-            # where tmpfs headroom matters most for the next cycle
-            spark.sparkContext._jvm.System.gc()
             compact_secs.append(time.time() - tc)
+        if (b + 1) % 2 == 0:
+            # drop dead shuffle files NOW (see periodicGC comment): each
+            # replay batch strands ~5 GB of shuffle temp on tmpfs, so an
+            # 8-batch GC cadence peaks at ~50 GB of dead files — attempt 2
+            # OOM-killed exactly there. A ~1 s full GC every 2 batches
+            # caps the stranded set at ~10 GB.
+            spark.sparkContext._jvm.System.gc()
         if (b + 1) % 5 == 0:
             done = sum(batch_secs)
             rate = (len(batch_secs) * args.chunk) / done
