@@ -61,6 +61,12 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--compact-group", type=int, default=8,
+                    help="buckets per compaction slice: compaction is run "
+                         "as n_buckets/group independent jobs so the "
+                         "rewrite shuffle never materializes the whole "
+                         "table at once (attempt 4 died with ONE live "
+                         "75 GB compaction shuffle on tmpfs)")
     ap.add_argument("--dedup", default="prefilter")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--sample-keys", type=int, default=200)
@@ -127,8 +133,22 @@ def main() -> int:
         batch_secs.append(time.time() - tb)
         if args.compact_every and (b + 1) % args.compact_every == 0:
             tc = time.time()
-            t.compact()
-            t.expire_snapshots(keep_last=1)
+            # Incremental (bucket-sliced) compaction: each slice's rewrite
+            # shuffle is O(slice), not O(table). Attempt 4 (2026-08-20)
+            # was OOM-killed mid-compaction at a 42 GB table: the single
+            # repartition(64, bucket) shuffle wrote 75 GB of lz4 shuffle
+            # blocks (random-int token arrays barely compress) onto tmpfs
+            # in 2 minutes, on top of table + JVM heap. Slicing 8 buckets
+            # at a time caps the live shuffle at ~1/8 of that; expiring
+            # snapshots per slice frees replaced base dirs immediately;
+            # the System.gc() drops the slice's dead shuffle files before
+            # the next slice starts. This is also the only shape that
+            # works at 100 TB — whole-table rewrite jobs don't.
+            for g0 in range(0, args.buckets, args.compact_group):
+                t.compact(buckets=list(
+                    range(g0, min(g0 + args.compact_group, args.buckets))))
+                t.expire_snapshots(keep_last=1)
+                spark.sparkContext._jvm.System.gc()
             compact_secs.append(time.time() - tc)
         if (b + 1) % 2 == 0:
             # drop dead shuffle files NOW (see periodicGC comment): each
@@ -195,6 +215,7 @@ def main() -> int:
         "docs": args.docs,
         "buckets": args.buckets,
         "compact_every": args.compact_every,
+        "compact_group": args.compact_group,
         "dedup": args.dedup,
         "replay_sec": round(sum(batch_secs), 1),
         "compact_sec": round(sum(compact_secs), 1),
