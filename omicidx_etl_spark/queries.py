@@ -44,6 +44,10 @@ def register(name: str, oracle: str | None):
 # are still checked locally by tests/test_oracle_parity.py and
 # scripts/sf1_parity.py regardless of order).
 _DRIVER_PRIORITY: list[str] = [
+    # r4 late additions (never driver-seen)
+    "bm25_topk_docs",
+    "hopping_window_counts",
+    "inverted_index_postings",
     # r4 additions (never driver-seen)
     "semantic_dedup",
     "token_budget_select",
@@ -2849,4 +2853,242 @@ def retention_cohorts(spark, sf_dir):
         weeks.join(cohort, "user_id")
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "vector")
+
+
+@register(
+    "bm25_topk_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(TRIM(lower(text)), '\s+') AS w
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS dl,
+             CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf2,
+             CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf3
+      FROM base),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      FROM t)
+    SELECT doc_id,
+           (CASE WHEN tf1 > 0 THEN CAST(FLOOR(
+              (2.0::DOUBLE * n_docs - 2.0::DOUBLE * df1 + 1.0::DOUBLE)
+              / (2.0::DOUBLE * df1 + 1.0::DOUBLE)
+              * ((tf1 * 2.2::DOUBLE)
+                 / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE
+                    + 0.75::DOUBLE * dl * n_docs / total_len)))
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END
+           + CASE WHEN tf2 > 0 THEN CAST(FLOOR(
+              (2.0::DOUBLE * n_docs - 2.0::DOUBLE * df2 + 1.0::DOUBLE)
+              / (2.0::DOUBLE * df2 + 1.0::DOUBLE)
+              * ((tf2 * 2.2::DOUBLE)
+                 / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE
+                    + 0.75::DOUBLE * dl * n_docs / total_len)))
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END
+           + CASE WHEN tf3 > 0 THEN CAST(FLOOR(
+              (2.0::DOUBLE * n_docs - 2.0::DOUBLE * df3 + 1.0::DOUBLE)
+              / (2.0::DOUBLE * df3 + 1.0::DOUBLE)
+              * ((tf3 * 2.2::DOUBLE)
+                 / (tf3 + 1.2::DOUBLE * (0.25::DOUBLE
+                    + 0.75::DOUBLE * dl * n_docs / total_len)))
+              * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) ELSE 0 END)
+           AS score_e6
+    FROM t, s
+    WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+    ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 document retrieval: top-10 docs for a fixed 3-term query
+    (k1=1.2, b=0.75), with the Robertson idf taken log-free as the exact
+    rational (N-df+0.5)/(df+0.5) = (2N-2df+1)/(2df+1) — same convention
+    as ``tfidf_top_terms`` (libm ln is not bit-identical across engines;
+    the rational is). Per-term scores are fixed-pointed to e6 BEFORE the
+    sum, so the final score is an exact BIGINT sum on both engines
+    (never an order-dependent float accumulation).
+
+    Scale shape (the reason this is not the textbook explode→groupBy):
+    query terms are literals, so per-doc tf comes from
+    ``size(filter(words, x == term))`` — a map-only projection, no
+    (doc, term) corpus shuffle at all. Corpus stats (N, total length,
+    per-term df) are ONE combinable aggregation to a 1-row broadcast.
+    Total cost: two map-only corpus scans + a 1-row crossJoin + top-k
+    TakeOrderedAndProject. At 10^10 docs nothing shuffles but the
+    top-10 candidates. Reference consolidation-search intent:
+    `omicidx_etl/sql/030_final_views.sql` term filters."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        *[
+            # NB: the lambda must be unary — F.filter passes (element,
+            # index) to two-parameter lambdas, so a `t=t` default would
+            # silently bind the array INDEX
+            F.size(F.filter(words, (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(1, len(_BM25_TERMS) + 1)
+        ],
+    )
+
+    def term_score(i: int) -> F.Column:
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (
+            F.lit(2.0) * F.col("n_docs") - F.lit(2.0) * df + F.lit(1.0)
+        ) / (F.lit(2.0) * df + F.lit(1.0))
+        tfp = (tf * F.lit(2.2)) / (
+            tf
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * F.col("dl") * F.col("n_docs") / F.col("total_len")
+            )
+        )
+        return F.when(
+            tf > 0,
+            F.floor(idf * tfp * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    hit = None
+    for i in range(1, len(_BM25_TERMS) + 1):
+        c = F.col(f"tf{i}") > 0
+        hit = c if hit is None else (hit | c)
+    score = None
+    for i in range(1, len(_BM25_TERMS) + 1):
+        s = term_score(i)
+        score = s if score is None else (score + s)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(hit)
+        .select("doc_id", score.alias("score_e6"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "hopping_window_counts",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, event_type,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT event_type, cents,
+             unnest([(us // 300000000) * 300000000,
+                     (us // 300000000) * 300000000 - 300000000]) AS win_start_us
+      FROM e)
+    SELECT win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) event-time windows — 10-minute windows advancing
+    every 5 minutes, so each event lands in exactly 2 overlapping windows
+    (``F.window(ts, '10 minutes', '5 minutes')``; the tumbling special
+    case is ``t2_tumbling_window``). The oracle materializes the same two
+    epoch-aligned window starts arithmetically. Values are per-row cents
+    fixed-point then BIGINT-summed (exact, order-free). Scale: the window
+    explode is a narrow 2× row expansion fused into the scan, followed by
+    one map-side-combinable aggregation — the standard streaming rollup
+    shape (streaming counterpart: watermarked `streaming/windows.py`).
+    Reference fixed-range intent: `geo/extract.py:328-353`."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+@register(
+    "inverted_index_postings",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS w
+      FROM documents),
+    posting AS (SELECT w AS term, doc_id FROM words GROUP BY w, doc_id)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+             AS postings
+    FROM posting GROUP BY term
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index construction: term → exact document frequency + a
+    SIZE-CAPPED posting sample (the 20 smallest doc_ids, sorted — a
+    deterministic cap, not collect-then-truncate). The per-group buffer
+    is bounded BEFORE any collect: rows are ranked per term with
+    ``row_number`` and filtered to rank ≤ 20, so a stopword appearing in
+    10^9 docs contributes 20 rows to the collect, never 10^9 (the
+    unbounded-``collect_list`` pathology called out for
+    ``exact_duplicates``). df is taken from a count window over the SAME
+    term partitioning, so the whole query is ONE shuffle: an explicit
+    ``repartition(term)`` whose clustering satisfies the (term, doc_id)
+    dedup aggregation, both windows, and the final per-term aggregation
+    (plan-guarded: a single Exchange). Reference term-lookup intent:
+    `omicidx_etl/sql/030_final_views.sql`."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    posting = (
+        words.repartition("term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .drop("_tf")
+    )
+    ranked = posting.select(
+        "term",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("term").orderBy("doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("term")).alias("df"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
     )

@@ -504,3 +504,46 @@ def test_semantic_dedup_blocked_pairwise(spark):
     assert "partial_max" in plan
     # the pairwise self-join blocks on the cluster key (hash/SMJ equi join)
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_bm25_map_only_with_topk(spark):
+    """bm25_topk_docs: per-doc tf/dl must be map-only projections (query
+    terms are literals — a (doc, term) corpus shuffle is the shape this
+    avoids), corpus stats a single combinable aggregation broadcast back
+    as ONE row, and the top-10 a TakeOrderedAndProject. The only
+    nested-loop allowed is that 1-row stats crossJoin."""
+    plan = _plan(spark, "bm25_topk_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort — top-k short-circuit
+    assert "partial_count" in plan or "partial_sum" in plan  # combinable stats
+    # exactly one corpus-side aggregation exchange + the 1-row broadcast:
+    # NO hashpartitioning exchange (nothing shuffles by any key)
+    assert "hashpartitioning" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row crossJoin
+
+
+def test_inverted_index_single_shuffle_bounded_collect(spark):
+    """inverted_index_postings: one explicit repartition(term) must be the
+    ONLY Exchange — the (term, doc_id) dedup, both windows, and the final
+    per-term aggregation all reuse its clustering; and the posting
+    collect_list must sit ABOVE the rank<=20 filter (bounded buffer), with
+    a map-side partial."""
+    plan = _plan(spark, "inverted_index_postings")
+    assert plan.count("Exchange") == 1
+    assert "REPARTITION_BY_COL" in plan
+    assert "partial_collect_list" in plan
+    # the Filter(rn <= 20) must appear BELOW the collect aggregation
+    agg_pos = plan.find("partial_collect_list")
+    filt_pos = plan.find("rn")
+    assert filt_pos > agg_pos > -1  # executedPlan prints top-down
+
+
+def test_hopping_window_partial_agg(spark):
+    """hopping_window_counts: the 2x window expansion must be a narrow
+    Expand fused above the scan (never a join against a window dim) and
+    the rollup must pre-reduce map-side — the standard streaming shape."""
+    plan = _plan(spark, "hopping_window_counts")
+    assert "Expand" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
