@@ -21,8 +21,9 @@ def windowed_event_stats(
     window: str = "1 hour",
     ts_col: str = "event_ts",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-source change-rate stats.
+    """Tumbling- or hopping-window per-source change-rate stats.
 
     Output: (window_start, window_end, source, n_events, n_deletes,
     n_docs, sum_tokens). Partial aggregation pre-reduces map-side; the
@@ -31,12 +32,23 @@ def windowed_event_stats(
 
     ``watermark`` (streaming only): bound state and drop events later than
     the bound — the T3 guard. Omit for batch use.
+
+    ``slide`` (optional): hop interval for overlapping (sliding) windows —
+    each event lands in window/slide windows via a narrow Expand (never a
+    join against a window dimension); state and output grow by the same
+    factor. Omit for tumbling. Batch registry counterpart:
+    ``queries.hopping_window_counts``.
     """
     src = events
     if watermark is not None:
         src = src.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     return (
-        src.groupBy(F.window(F.col(ts_col), window).alias("w"), "source")
+        src.groupBy(win.alias("w"), "source")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
@@ -63,17 +75,20 @@ def stream_windowed_stats(
     window: str = "1 hour",
     watermark: str = "2 hours",
     timeout_s: float | None = None,
+    slide: str | None = None,
 ):
     """Run the windowed aggregation as an availableNow stream over the
     change-log directory, appending finalized windows to parquet.
 
     Append output mode means a window is emitted exactly once, when the
     watermark passes its end — the exactly-once analogue for aggregates
-    (complements the LakeTable merge path for row upserts).
+    (complements the LakeTable merge path for row upserts). ``slide``
+    makes the windows hopping (overlapping); a window still finalizes
+    exactly once, when the watermark passes its own end.
     """
     schema = spark.read.parquet(log_path).schema
     src = spark.readStream.schema(schema).parquet(log_path)
-    agg = windowed_event_stats(src, window=window, watermark=watermark)
+    agg = windowed_event_stats(src, window=window, watermark=watermark, slide=slide)
     q = (
         agg.writeStream.format("parquet")
         .option("path", out_path)

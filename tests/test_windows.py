@@ -140,3 +140,74 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert len(merged) == len(got)
     for c in ["n_events", "sum_tokens"]:
         assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist()
+
+
+def test_batch_hopping_windows_match_duckdb(spark, tmp_path):
+    """slide= makes the windows hopping: every event lands in exactly
+    window/slide overlapping windows; DuckDB oracle materializes the same
+    epoch-aligned starts arithmetically."""
+    log = str(tmp_path / "log")
+    ch = datagen.gen_changes(spark, 5000, 300, seed=43)
+    datagen.write_change_log(ch, log, files=4)
+
+    got = (
+        windowed_event_stats(
+            spark.read.parquet(log), window="10 minutes", slide="5 minutes"
+        )
+        .select("window_start", "source", "n_events", "sum_tokens")
+        .toPandas()
+        .sort_values(["window_start", "source"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH e AS (
+          SELECT epoch_us(event_ts) AS us, source, COALESCE(n_tok, 0) AS nt
+          FROM read_parquet('{log}/*.parquet')),
+        w AS (
+          SELECT source, nt,
+                 unnest([(us // 300000000) * 300000000,
+                         (us // 300000000) * 300000000 - 300000000]) AS ws
+          FROM e)
+        SELECT to_timestamp(ws // 1000000) AT TIME ZONE 'UTC' AS window_start,
+               source, COUNT(*) AS n_events, SUM(nt) AS sum_tokens
+        FROM w GROUP BY 1, 2
+        """
+    ).df().sort_values(["window_start", "source"], na_position="last").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["n_events"].tolist() == exp["n_events"].astype(int).tolist()
+    assert got["sum_tokens"].astype(int).tolist() == exp["sum_tokens"].astype(int).tolist()
+    # every event is counted twice overall vs the tumbling total
+    assert int(got["n_events"].sum()) == 2 * 5000
+
+
+def test_stream_hopping_windows_match_batch(spark, tmp_path):
+    """Hopping stream with watermark == the shared batch definition, and
+    each finalized window is emitted exactly once (no duplicates across
+    the overlap)."""
+    log = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ch = datagen.gen_changes(spark, 5000, 300, seed=44)
+    datagen.write_change_log(ch, log, files=4)
+
+    stream_windowed_stats(
+        spark, log, ckpt, out,
+        window="10 minutes", slide="5 minutes", watermark="5 minutes",
+    )
+    got = spark.read.parquet(out).orderBy("window_start", "source").toPandas()
+    exp = (
+        windowed_event_stats(
+            spark.read.parquet(log), window="10 minutes", slide="5 minutes"
+        )
+        .orderBy("window_start", "source")
+        .toPandas()
+    )
+    assert 0 < len(got) <= len(exp)
+    assert not got.duplicated(["window_start", "source"]).any()
+    merged = exp.merge(
+        got, on=["window_start", "source"], suffixes=("_b", "_s"), how="inner"
+    )
+    assert len(merged) == len(got)
+    for c in ["n_events", "n_deletes", "sum_tokens"]:
+        assert merged[f"{c}_b"].tolist() == merged[f"{c}_s"].tolist()
