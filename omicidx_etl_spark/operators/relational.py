@@ -355,3 +355,45 @@ def banded_interval_self_join(
         .drop("__id")
         .withColumn("n_close", F.coalesce(F.col("n_close"), F.lit(0)))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: "str | list[str]",
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join for when the small side is too big to broadcast
+    but the big side's join keys are skewed: each big-side row picks a
+    deterministic salt in [0, n_salts) (``pmod(xxhash64(all columns))`` —
+    pure function of the row, so task retries re-derive the same salt and
+    exactly-once sinks stay exactly-once), the small side is replicated
+    ``n_salts``× with one copy per salt, and the join runs on
+    (key…, salt). A hot key's rows spread across ``n_salts`` reducers
+    instead of one; every matching (big, small) pair still appears exactly
+    once (a big row carries ONE salt and exactly one replica of each small
+    row carries that salt), so inner and left results equal the unsalted
+    join's. The small side is hinted ``shuffle_hash`` — if it were
+    broadcast-able, salting would be pointless (a broadcast join has no
+    shuffle to skew), and a sort-merge join would re-sort the replicated
+    side.
+
+    AQE's ``skewJoin`` does this adaptively for sort-merge joins when
+    post-shuffle partition stats reveal the skew; this operator is the
+    explicit form for planned-ahead hot keys (same role as the salted
+    merge in ``cdc.replay``). Caveat: big-side rows identical in EVERY
+    column collide onto one salt — add a line-id column first if exact
+    duplicates dominate the hot key. Reference join-consolidation shape:
+    `omicidx_etl/sql/020_staging_tables.sql` joins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    replicas = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        big.withColumn("__salt", salt)
+        .join(replicas.hint("shuffle_hash"), [*keys, "__salt"], how)
+        .drop("__salt")
+    )

@@ -48,6 +48,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bm25_topk_docs",
     "hopping_window_counts",
     "inverted_index_postings",
+    "salted_join_supplier_volume",
+    "term_cooccurrence_pmi",
     # r4 additions (never driver-seen)
     "semantic_dedup",
     "token_budget_select",
@@ -3091,4 +3093,136 @@ def inverted_index_postings(spark, sf_dir):
                 ",",
             ).alias("postings"),
         )
+    )
+
+
+@register(
+    "salted_join_supplier_volume",
+    """
+    SELECT s.s_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def salted_join_supplier_volume(spark, sf_dir):
+    """Skew-safe fact→dim join via ``relational.salted_join`` (n_salts=8):
+    the big side's rows pick a deterministic per-row salt, the supplier
+    side is replicated 8× (one replica per salt), and the join shuffles on
+    (suppkey, salt) — a hot supplier's lineitems spread over 8 reducers
+    instead of one. The oracle is the PLAIN join: salting must be
+    result-invariant (every matching pair appears exactly once). The
+    shuffle_hash hint pins the demonstration shape (plan-guarded:
+    ShuffledHashJoin on the salted keys, no broadcast) — in production you
+    use this exactly when the dim is too big to broadcast AND keys skew;
+    AQE skew-join is the adaptive fallback for unplanned skew."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey").alias("nation")
+    )
+    return (
+        R.salted_join(li, sup, on="suppkey", n_salts=8)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"),
+        )
+    )
+
+
+@register(
+    "term_cooccurrence_pmi",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               regexp_split_to_array(TRIM(lower(text)), '\s+'))) AS t
+      FROM documents),
+    pairs AS (
+      SELECT t[i] AS a, t[j] AS b
+      FROM base,
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS i),
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS j)
+      WHERE j > i),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM pairs GROUP BY a, b),
+    ct AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_t
+           FROM (SELECT doc_id, unnest(t) AS term FROM base) GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT a, b, c_ab,
+           CAST(FLOOR(c_ab * 10000.0::DOUBLE * n_docs / (ca.c_t * cb.c_t)
+                      + 0.5::DOUBLE) AS BIGINT) AS pmi_e4
+    FROM cab
+    JOIN ct ca ON ca.term = cab.a
+    JOIN ct cb ON cb.term = cab.b, n
+    ORDER BY pmi_e4 DESC, a ASC, b ASC LIMIT 50
+    """,
+)
+def term_cooccurrence_pmi(spark, sf_dir):
+    """Term co-occurrence mining with log-free PMI: for every unordered
+    pair of DISTINCT terms co-occurring in a document, pmi ∝
+    P(a,b)/(P(a)P(b)) = c_ab·N/(c_a·c_b) — the exact rational instead of
+    its log (same ranking, bit-identical fixed point across engines; the
+    `tfidf_top_terms` convention). Top-50 pairs, totally ordered
+    (pmi, a, b) so LIMIT is deterministic.
+
+    Scale shape: pair generation is a NARROW per-row expansion
+    (sort+dedup the doc's terms, then slice/transform nested
+    comprehension — O(distinct-terms²) per row, bounded by doc length,
+    map-only; pairs of a 10^9-doc corpus never pass through a driver or
+    a join). Pair counts and term counts are both map-side-combinable
+    aggregations over vocab-sized keyspaces; the two count joins and the
+    1-row N join all broadcast. One TakeOrderedAndProject, no global
+    sort."""
+    d = _t(spark, sf_dir, "documents")
+    terms = F.array_sort(
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    base = d.select("doc_id", terms.alias("t"))
+    # all (i, j>i) pairs: transform-with-index over t, inner slice of the tail
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("t"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("t"), i + F.lit(2), F.size(F.col("t"))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = base.select(F.explode(pairs_col).alias("p")).select("p.a", "p.b")
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ct = (
+        base.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ca = ct.select(F.col("term").alias("a"), F.col("c_t").alias("ca"))
+    cb = ct.select(F.col("term").alias("b"), F.col("c_t").alias("cb"))
+    return (
+        cab.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.floor(
+                F.col("c_ab")
+                * F.lit(10000.0)
+                * F.col("n_docs")
+                / (F.col("ca") * F.col("cb"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_e4"),
+        )
+        .orderBy(F.desc("pmi_e4"), F.asc("a"), F.asc("b"))
+        .limit(50)
     )

@@ -182,3 +182,24 @@ def test_gen_changes_seq_range_slices_identically(spark):
     # the full-snapshot prefix survives slicing (depends only on seq)
     head = datagen.gen_changes(spark, 2000, 150, seed=9, seq_range=(0, 150))
     assert head.filter("op <> 'I'").count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is result-invariant vs the plain join — inner and left,
+    including duplicate keys on BOTH sides (each matching pair must appear
+    exactly once per multiplicity) and unmatched left rows."""
+    from omicidx_etl_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "d"), (9, "x")],
+        "k int, v string",
+    )
+    small = spark.createDataFrame(
+        [(1, "p"), (1, "q"), (2, "r"), (3, "s")], "k int, w string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(big, small, "k", n_salts=4, how=how).collect())
+        )
+        exp = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == exp, (how, got, exp)

@@ -547,3 +547,31 @@ def test_hopping_window_partial_agg(spark):
     assert "partial_count" in plan and "partial_sum" in plan
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_salted_join_shape(spark):
+    """salted_join_supplier_volume: the join must be a ShuffledHashJoin on
+    (key, salt) — never broadcast (if the dim were broadcast-able salting
+    would be pointless) and never sort-merge (re-sorting the replicated
+    side) — with the small side replicated by a narrow explode."""
+    plan = _plan(spark, "salted_join_supplier_volume")
+    assert "ShuffledHashJoin" in plan
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan  # the n_salts replication
+
+
+def test_pmi_narrow_pairs_broadcast_counts(spark):
+    """term_cooccurrence_pmi: pair generation must be a narrow per-row
+    explode fused over the scan (never a self-join of the exploded term
+    table — the quadratic-shuffle shape), pair/term counts must pre-reduce
+    map-side, the two count joins must broadcast (vocab-sized), and the
+    top-50 must short-circuit as TakeOrderedAndProject."""
+    plan = _plan(spark, "term_cooccurrence_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+    assert "partial_count" in plan
+    assert plan.count("BroadcastHashJoin") == 2  # c_a and c_b lookups
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row N join
+    assert "CartesianProduct" not in plan
