@@ -276,6 +276,36 @@ class LakeTable:
                     snaps.append(json.load(f))
         return snaps
 
+    def snapshot_id_as_of(self, ts: float, branch: str | None = None) -> int:
+        """Resolve the snapshot that was current at wall-clock ``ts``
+        (Iceberg ``TIMESTAMP AS OF`` / ``snapshot_id_as_of_time``): the
+        newest ancestor of the (branch) head whose ``committed_at`` <= ts.
+
+        Walks the head's ``parent_id`` ancestry, NOT the flat snapshot
+        listing — a side branch committed before ``ts`` must never win a
+        main-lineage resolution. Raises ``ValueError`` if ``ts`` predates
+        the lineage's oldest retained snapshot (same lossiness class as
+        ``expire_snapshots``: time travel only reaches retained history),
+        and ``FileNotFoundError`` if the walk crosses an expired ancestor.
+        """
+        if branch is not None:
+            refs = self._read_refs()
+            if branch not in refs:
+                raise KeyError(f"unknown branch {branch!r}")
+            sid: int | None = refs[branch]
+        else:
+            sid = int(self.snapshot()["snapshot_id"])
+        while sid is not None:
+            snap = self.snapshot_at(int(sid))
+            if float(snap.get("committed_at", 0.0)) <= ts:
+                return int(sid)
+            sid = snap.get("parent_id")
+        raise ValueError(
+            f"no snapshot at or before ts={ts} in retained history "
+            f"(oldest retained ancestor is newer; expire_snapshots "
+            "reclaims older states)"
+        )
+
     # ------------------------------------------------- branches (WAP refs)
     # Write-audit-publish: ``merge(..., branch="audit")`` commits snapshots
     # a named ref points at while main (the ``_current`` pointer) is
@@ -477,6 +507,7 @@ class LakeTable:
         branch: str | None = None,
         tag: str | None = None,
         where: "list[tuple[str, str, Any]] | None" = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
 
@@ -520,6 +551,15 @@ class LakeTable:
         """
         if sum(x is not None for x in (as_of, branch, tag)) > 1:
             raise ValueError("as_of, branch and tag are mutually exclusive")
+        if as_of_ts is not None:
+            # Iceberg TIMESTAMP AS OF: resolve along the (branch) head's
+            # ancestry, then proceed exactly as a snapshot-id read.
+            # Combinable with ``branch`` (resolve on that lineage), not
+            # with as_of/tag (those already pin a snapshot).
+            if as_of is not None or tag is not None:
+                raise ValueError("as_of_ts is exclusive with as_of/tag")
+            as_of = self.snapshot_id_as_of(as_of_ts, branch=branch)
+            branch = None
         if branch is not None:
             refs = self._read_refs()
             if branch not in refs:

@@ -239,3 +239,62 @@ def test_changes_keeps_late_arrival_deltas_despite_old_seqs(spark, table):
     )
     got = {r["doc_id"] for r in table.changes(from_sid).collect()}
     assert got == {"late_new_key"}
+
+
+def test_read_as_of_ts_resolves_wall_clock(spark, table):
+    """TIMESTAMP AS OF: a wall-clock timestamp resolves to the newest
+    main-lineage snapshot committed at or before it, and reads exactly
+    that state; a pre-creation timestamp raises."""
+    import time as _time
+
+    sid1 = table.snapshot()["snapshot_id"]
+    ts_after_sid1 = _time.time()
+    _time.sleep(0.02)
+    table.merge(
+        dedup_latest(_changes_df(spark, [(5, "U", "doc_00000001", [9, 9], 2, "web")]))
+    )
+    _time.sleep(0.02)
+    ts_after_sid2 = _time.time()
+    table.merge(
+        dedup_latest(_changes_df(spark, [(6, "D", "doc_00000002", None, None, None)]))
+    )
+
+    assert table.snapshot_id_as_of(ts_after_sid1) == sid1
+    old = table.read(as_of_ts=ts_after_sid1)
+    assert old.filter("doc_id = 'doc_00000001'").first()["tokens"] != [9, 9]
+    assert old.filter("doc_id = 'doc_00000002'").count() == 1
+
+    mid = table.read(as_of_ts=ts_after_sid2)
+    assert mid.filter("doc_id = 'doc_00000001'").first()["tokens"] == [9, 9]
+    assert mid.filter("doc_id = 'doc_00000002'").count() == 1
+
+    # "now" resolves to the current head
+    assert table.read(as_of_ts=_time.time()).count() == table.read().count()
+
+    with pytest.raises(ValueError):
+        table.snapshot_id_as_of(0.0)
+    with pytest.raises(ValueError):
+        table.read(as_of_ts=ts_after_sid1, as_of=sid1)
+
+
+def test_as_of_ts_walks_branch_lineage_not_flat_listing(spark, table):
+    """A side-branch snapshot committed before ts must never win a
+    main-lineage resolution — and branch= resolves on the branch's own
+    ancestry."""
+    import time as _time
+
+    main_sid = table.snapshot()["snapshot_id"]
+    table.create_branch("audit")
+    table.merge(
+        dedup_latest(_changes_df(spark, [(7, "U", "doc_00000005", [1], 1, "web")])),
+        branch="audit",
+    )
+    branch_head = table.branches()["audit"]
+    _time.sleep(0.02)
+    ts = _time.time()
+    # main lineage: the branch commit is invisible at any ts
+    assert table.snapshot_id_as_of(ts) == main_sid
+    # branch lineage: ts resolves to the branch head
+    assert table.snapshot_id_as_of(ts, branch="audit") == branch_head
+    got = table.read(as_of_ts=ts, branch="audit")
+    assert got.filter("doc_id = 'doc_00000005'").first()["tokens"] == [1]
