@@ -50,6 +50,7 @@ _DRIVER_PRIORITY: list[str] = [
     "inverted_index_postings",
     "salted_join_supplier_volume",
     "term_cooccurrence_pmi",
+    "event_transitions_topk",
     # r4 additions (never driver-seen)
     "semantic_dedup",
     "token_budget_select",
@@ -3225,4 +3226,48 @@ def term_cooccurrence_pmi(spark, sf_dir):
         )
         .orderBy(F.desc("pmi_e4"), F.asc("a"), F.asc("b"))
         .limit(50)
+    )
+
+
+@register(
+    "event_transitions_topk",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS next_type
+      FROM events)
+    SELECT event_type AS src, next_type AS dst,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, src ASC, dst ASC LIMIT 25
+    """,
+)
+def event_transitions_topk(spark, sf_dir):
+    """Sequential-pattern mining: per-user event-type transition counts
+    (the first-order Markov edge list behind session-flow / clickstream
+    diagrams), top-25 edges. Per-user ordering is one window shuffle keyed
+    by user_id — per-key state, never a global sort; ties inside a user's
+    stream break on event_id so the lead() pairing is total-ordered and
+    deterministic cross-engine. The transition rollup is map-side
+    combinable over a (types²)-sized keyspace and the top-k is
+    TakeOrderedAndProject. At 10^10 events the only wide stage is the
+    user_id exchange — the same key the sessionize/funnel family already
+    shuffles on. Reference ordered-consolidation shape:
+    `omicidx_etl/sql/010_raw_to_parquet.sql:36-43` (rn over partition)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(25)
     )

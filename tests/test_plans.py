@@ -575,3 +575,13 @@ def test_pmi_narrow_pairs_broadcast_counts(spark):
     assert plan.count("BroadcastHashJoin") == 2  # c_a and c_b lookups
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row N join
     assert "CartesianProduct" not in plan
+
+
+def test_event_transitions_single_user_shuffle(spark):
+    """event_transitions_topk: one user_id window exchange, a combinable
+    transition rollup, and a TakeOrderedAndProject — never a global sort
+    of the edge list."""
+    plan = _plan(spark, "event_transitions_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "partial_count" in plan
