@@ -51,6 +51,10 @@ _DRIVER_PRIORITY: list[str] = [
     "salted_join_supplier_volume",
     "term_cooccurrence_pmi",
     "event_transitions_topk",
+    "window_anomalies",
+    "kmv_distinct_users",
+    "pagerank_bipartite",
+    "profile_table",
     # r4 additions (never driver-seen)
     "semantic_dedup",
     "token_budget_select",
@@ -3270,4 +3274,337 @@ def event_transitions_topk(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
         .limit(25)
+    )
+
+
+@register(
+    "window_anomalies",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS m,
+             SUM(n)   OVER (PARTITION BY event_type) AS sm,
+             SUM(n*n) OVER (PARTITION BY event_type) AS q
+      FROM c)
+    SELECT event_type, day, n,
+           (m*n - sm > 0 AND (m*n - sm)*(m*n - sm) > 9*(m*q - sm*sm))
+             AS is_anomaly
+    FROM s ORDER BY is_anomaly DESC, event_type ASC, day ASC LIMIT 100
+    """,
+)
+def window_anomalies(spark, sf_dir):
+    """Volume-anomaly detection over daily event counts: flag (type, day)
+    windows whose count exceeds the per-type mean + 3 population stddevs.
+    The 3-sigma test is evaluated in EXACT integer arithmetic — ``c > S/m
+    + 3*sqrt((m*Q - S^2))/m  <=>  m*c - S > 0 AND (m*c - S)^2 > 9*(m*Q -
+    S^2)`` with m = window count, S = sum of counts, Q = sum of squares —
+    so the flag is bit-identical across engines (no float sqrt / division
+    whose ulp could flip a borderline window). Shape: map-side-combinable
+    count rollup to a (types x days)-sized table, then per-type windowed
+    moments over that ALREADY-REDUCED table — at 10^10 events the second
+    exchange moves only ~|types x days| rows, and the per-key sum/sum-sq
+    state is what a streaming z-score monitor would keep. Reference
+    running-metrics shape: `omicidx_etl/lineage.py:60-75` (per-entity
+    counters driving consolidation health checks)."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts")))
+            .cast("string")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    dev = F.col("m") * F.col("n") - F.col("sm")
+    var9 = F.lit(9).cast("long") * (
+        F.col("m") * F.col("q") - F.col("sm") * F.col("sm")
+    )
+    return (
+        c.select(
+            "event_type",
+            "day",
+            "n",
+            F.count(F.lit(1)).over(w).alias("m"),
+            F.sum("n").over(w).alias("sm"),
+            F.sum(F.col("n") * F.col("n")).over(w).alias("q"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            ((dev > 0) & (dev * dev > var9)).alias("is_anomaly"),
+        )
+        .orderBy(F.desc("is_anomaly"), F.asc("event_type"), F.asc("day"))
+        .limit(100)
+    )
+
+
+@register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        ((user_id % 1000003 + 1) * 48271 % 2147483647)
+          * 48271 % 2147483647 + 1 AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h)
+    SELECT event_type,
+           CAST(MAX(nd) AS BIGINT) AS exact_nd,
+           CAST(CASE WHEN MAX(nd) < 16 THEN MAX(nd)
+                ELSE MAX(CASE WHEN rn = 16
+                          THEN 15::BIGINT * 2147483647 // hv END)
+                END AS BIGINT) AS kmv_estimate
+    FROM r WHERE rn <= 16
+    GROUP BY event_type ORDER BY event_type ASC
+    """,
+)
+def kmv_distinct_users(spark, sf_dir):
+    """K-minimum-values cardinality sketch (Bar-Yossef et al. 2002): the
+    per-type distinct-user estimate is (k-1)*M / h_(k) where h_(k) is the
+    k-th smallest of a deterministic integer hash (double-round Lehmer
+    LCG, modulus M = 2^31-1) over the distinct user hashes — the mergeable
+    sketch behind approx_count_distinct, built from exact BIGINT ops so
+    both engines produce the identical estimate (Spark's HLL and DuckDB's
+    approx_distinct are NOT cross-comparable; this is). Groups with fewer
+    than k=16 distinct hashes report exactly. Shape: one combinable
+    DISTINCT (event_type, hv) exchange, then a per-type ordered window
+    over the deduped hashes where the rank<=k filter keeps k rows per
+    group — at 10^10 events the sketch state per group is k integers, and
+    a production variant keeps only hv below a sampled threshold before
+    the sort. exact_nd is the hash-level distinct count (collision prob
+    ~n^2/2^32). Reference census shape: `omicidx_etl/build_db.py:70-87`
+    (per-entity distinct accession counts)."""
+    ev = _t(spark, sf_dir, "events")
+    h1 = (F.col("user_id") % 1000003 + 1) * 48271 % 2147483647
+    hv = (h1 * 48271 % 2147483647 + 1).alias("hv")
+    d = ev.select("event_type", hv).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("hv"))
+    r = d.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nd"),
+    ).filter(F.col("rn") <= 16)
+    est = F.expr("cast(15 as bigint) * 2147483647 div hv")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("nd").alias("exact_nd"),
+            F.max(F.when(F.col("rn") == 16, est)).alias("kmv_raw"),
+        )
+        .select(
+            "event_type",
+            "exact_nd",
+            F.when(F.col("exact_nd") < 16, F.col("exact_nd"))
+            .otherwise(F.col("kmv_raw"))
+            .alias("kmv_estimate"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
+
+
+@register(
+    "pagerank_bipartite",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY 1),
+    r0 AS (SELECT node, 1000000::BIGINT AS r FROM deg),
+    r1 AS (SELECT e.dst AS node,
+                  150000 + (85 * SUM(r0.r // deg.d)) // 100 AS r
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.node
+           GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node,
+                  150000 + (85 * SUM(r1.r // deg.d)) // 100 AS r
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node
+           GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS node,
+                  150000 + (85 * SUM(r2.r // deg.d)) // 100 AS r
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.node
+           GROUP BY e.dst)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+           node // 2 AS key, CAST(r AS BIGINT) AS rank_e6
+    FROM r3
+    ORDER BY rank_e6 DESC, kind ASC, key ASC LIMIT 25
+    """,
+)
+def pagerank_bipartite(spark, sf_dir):
+    """Iterative graph centrality on Spark: 3 rounds of PageRank (damping
+    0.85) over the undirected customer-part purchase graph (edges =
+    distinct (o_custkey, l_partkey) via orders |><| lineitem; node ids
+    disambiguated as 2k / 2k+1 so the graph stays BIGINT-keyed). Every
+    step is EXACT integer arithmetic — contribution = r div deg, new rank
+    = 150000 + 85*sum div 100, rank unit 1e-6 — so BIGINT sums commute and
+    the result is bit-identical across engines and across partitionings
+    (float PageRank is not: summation order changes ulps). Shape: each
+    round is edges |><| ranks on the node key then a combinable groupBy
+    dst — the Pregel message-passing pattern as two hash exchanges per
+    round on the SAME key, no driver-side state, no cartesian; at 10^10
+    edges rounds are width-proportional; edges and degrees materialize
+    ONCE (``localCheckpoint``, the connected_components convention) so no
+    round re-derives the orders |><| lineitem scan and lineage stays flat
+    across rounds. The top-25 is TakeOrderedAndProject.
+    Same iterative shape as functions/dedup.py:connected_components
+    (pointer jumping); reference consolidation walks entity links
+    one-shot: `omicidx_etl/sql/030_entity_links.sql:1-20`."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges, F.col("node") == edges.src)
+            .select(F.col("dst"), F.expr("r div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("sc"))
+            .select(
+                "node",
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("85 * sc div 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("part"))
+            .alias("kind"),
+            F.expr("node div 2").alias("key"),
+            F.col("r").alias("rank_e6"),
+        )
+        .orderBy(F.desc("rank_e6"), F.asc("kind"), F.asc("key"))
+        .limit(25)
+    )
+
+
+@register(
+    "profile_table",
+    """
+    SELECT 'o_custkey' AS column_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR),
+           CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name ASC
+    """,
+)
+def profile_table(spark, sf_dir):
+    """Data-quality profiling: one row per column of ``orders`` with null
+    count, distinct count, and canonical min/max strings — the ingest-
+    validation summary an ETL engine emits before accepting a load. The
+    Spark side is a SINGLE pass: one agg computes all 6x4 statistics (the
+    multi-column COUNT(DISTINCT) lowers to one Expand + two exchanges, not
+    six scans — the oracle's UNION ALL of per-column scans is the naive
+    form), then ``stack`` unpivots the 1x24 row to 6x4. Min/max are
+    aggregated on the NATIVE type and canonicalized to strings after
+    (lexicographic min of stringified ints would be wrong); floats go
+    through the e2 fixed-point convention, timestamps through DATE. At
+    100 TB profiling cost = one scan + one Expand-widened exchange keyed
+    by the distinct values. Reference validation shape:
+    `omicidx_etl/build_db.py:70-87` (per-entity census before view
+    publish)."""
+    o = _t(spark, sf_dir, "orders")
+    specs = [
+        ("o_custkey", F.min("o_custkey"), F.max("o_custkey")),
+        (
+            "o_orderdate",
+            F.to_date(F.min("o_orderdate")),
+            F.to_date(F.max("o_orderdate")),
+        ),
+        ("o_orderkey", F.min("o_orderkey"), F.max("o_orderkey")),
+        ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+        ("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+        (
+            "o_totalprice",
+            _cents(F.min("o_totalprice")),
+            _cents(F.max("o_totalprice")),
+        ),
+    ]
+    aggs = []
+    for name, mn, mx in specs:
+        aggs += [
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{name}"),
+            F.count_distinct(F.col(name)).alias(f"nd_{name}"),
+            mn.cast("string").alias(f"mn_{name}"),
+            mx.cast("string").alias(f"mx_{name}"),
+        ]
+    cells = ", ".join(
+        f"'{n}', nn_{n}, nd_{n}, mn_{n}, mx_{n}" for n, _, _ in specs
+    )
+    return (
+        o.agg(*aggs)
+        .selectExpr(
+            f"stack(6, {cells}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+        .orderBy(F.asc("column_name"))
     )

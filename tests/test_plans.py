@@ -585,3 +585,44 @@ def test_event_transitions_single_user_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("hashpartitioning(user_id") == 1
     assert "partial_count" in plan
+
+
+def test_window_anomalies_two_exchanges(spark):
+    """window_anomalies: the raw-event rollup and the per-type moment
+    window are the ONLY exchanges — the 3-sigma test itself is pure
+    integer column arithmetic over the already-reduced counts table."""
+    plan = _plan(spark, "window_anomalies")
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_shape(spark):
+    """kmv_distinct_users: a combinable DISTINCT on (type, hv), then one
+    per-type window; no join, no cartesian, no global sort of raw events."""
+    plan = _plan(spark, "kmv_distinct_users")
+    assert plan.count("hashpartitioning(event_type") >= 1
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_materializes_edges_once(spark):
+    """pagerank_bipartite: edges/degrees come from checkpoint blocks, so
+    NO iteration re-derives the orders |><| lineitem scan (a lazy lineage
+    re-derived the base join ~7x: 38 exchanges vs 10), and the ranking is
+    TakeOrderedAndProject over equi joins only."""
+    plan = _plan(spark, "pagerank_bipartite")
+    assert "Scan parquet" not in plan  # base tables folded into checkpoints
+    assert plan.count("Exchange") <= 12
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_table_single_pass(spark):
+    """profile_table: ONE scan of orders feeds all 24 statistics via a
+    multi-distinct Expand — never six per-column scans like the oracle."""
+    plan = _plan(spark, "profile_table")
+    assert len(_scans(plan)) == 1
+    assert "Expand" in plan
