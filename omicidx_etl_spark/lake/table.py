@@ -689,6 +689,7 @@ class LakeTable:
         from_sid: int,
         to_sid: int | None = None,
         include_seq: bool = False,
+        include_before: bool = False,
     ) -> DataFrame:
         """Incremental changelog scan between two snapshots (Iceberg's
         ``table_changes`` / ``incremental read``): the **net change per
@@ -717,7 +718,20 @@ class LakeTable:
         events from the changelog; that is detected from snapshot
         summaries and raised — read the changelog before purging, or purge
         only below the consumers' watermark (``before_seq`` ≤ every
-        consumer's ``from`` ceiling)."""
+        consumer's ``from`` ceiling).
+
+        ``include_before=True`` adds a ``_before`` struct column: the
+        key's full row as of ``from_sid`` (the Debezium pre-image; NULL
+        for keys absent at ``from_sid``, i.e. inserts — ``_change_type``
+        stays {'upsert','delete'} so existing consumers are unaffected).
+        The pre-image scan stays O(changes): changed keys are hashed
+        through the FROM-snapshot's bucket transform (rebucket-safe) and
+        only those bucket directories of the from-snapshot are read — the
+        ``lookup``/canonicalize bucket-pruning convention — then joined on
+        the key. The bucket-id collect is bounded by n_buckets (driver
+        metadata, not data). Columns inside ``_before`` follow the
+        from-snapshot's schema (pre-rename names if the interval evolved
+        the schema)."""
         to_snap = self.snapshot() if to_sid is None else self.snapshot_at(to_sid)
         from_snap = self.snapshot_at(from_sid)
         floor = from_snap.get("seq_ceiling", -1)
@@ -809,7 +823,23 @@ class LakeTable:
         )
         if include_seq:
             out = out.withColumn("_seq", F.col(SEQ_COL))
-        return out.drop(SEQ_COL, DELETED_COL)
+        out = out.drop(SEQ_COL, DELETED_COL)
+        if include_before:
+            fnb = from_snap["table"]["n_buckets"]
+            bks = sorted(
+                r["b"]
+                for r in net.select(bucket_expr(key, fnb).alias("b"))
+                .distinct()
+                .collect()
+            )
+            before = self.read(buckets=bks, as_of=from_sid)
+            pre = [c for c in before.columns if c != key]
+            out = out.join(
+                before.select(key, F.struct(*pre).alias("_before")),
+                on=key,
+                how="left",
+            )
+        return out
 
     # ------------------------------------------------------------- overwrite
     def overwrite(

@@ -298,3 +298,71 @@ def test_as_of_ts_walks_branch_lineage_not_flat_listing(spark, table):
     assert table.snapshot_id_as_of(ts, branch="audit") == branch_head
     got = table.read(as_of_ts=ts, branch="audit")
     assert got.filter("doc_id = 'doc_00000005'").first()["tokens"] == [1]
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_changes_include_before_pre_images(spark, table, mode):
+    """Debezium-style pre-images: _before carries the key's full row as of
+    from_sid; NULL for inserts; present (pre-delete state) for deletes;
+    the pre-image scan must be bucket-pruned, not a full-table read."""
+    sid1 = table.snapshot()["snapshot_id"]
+    old1 = table.read().filter("doc_id = 'doc_00000001'").first()
+    table.merge(
+        dedup_latest(
+            _changes_df(
+                spark,
+                [
+                    (5, "U", "doc_00000001", [5], 1, "web"),
+                    (6, "D", "doc_00000002", None, None, None),
+                    (7, "U", "doc_new", [1], 1, "pdf"),
+                ],
+            )
+        ),
+        mode=mode,
+    )
+    ch = {
+        r["doc_id"]: r
+        for r in table.changes(sid1, include_before=True).collect()
+    }
+    assert set(ch) == {"doc_00000001", "doc_00000002", "doc_new"}
+    # update: pre-image is the sid1 row
+    b = ch["doc_00000001"]["_before"]
+    assert b is not None and b["tokens"] == list(old1["tokens"])
+    # delete: pre-image present (state being deleted)
+    assert ch["doc_00000002"]["_change_type"] == "delete"
+    assert ch["doc_00000002"]["_before"] is not None
+    # insert: no pre-image
+    assert ch["doc_new"]["_before"] is None
+    # compat: include_before off -> no _before column
+    assert "_before" not in table.changes(sid1).columns
+
+
+def test_changes_before_images_bucket_pruned(spark, table):
+    """The pre-image read must touch only the buckets hosting changed keys
+    (from-snapshot transform): with one changed key, a 4-bucket table
+    reads exactly 1 bucket."""
+    sid1 = table.snapshot()["snapshot_id"]
+    table.merge(
+        dedup_latest(_changes_df(spark, [(5, "U", "doc_00000001", [5], 1, "web")]))
+    )
+    from omicidx_etl_spark.lake.table import bucket_expr
+
+    nb = table.snapshot()["table"]["n_buckets"]
+    expect = (
+        spark.createDataFrame([("doc_00000001",)], "doc_id string")
+        .select(bucket_expr("doc_id", nb).alias("b"))
+        .first()["b"]
+    )
+    ch = table.changes(sid1, include_before=True)
+    import re
+
+    pre_dirs = {
+        m.group(1)
+        for f in ch.inputFiles()
+        for m in re.finditer(r"__bucket=(\d+)", f)
+    }
+    # both the delta scan and the pre-image scan touch only the changed
+    # key's bucket — an unpruned pre-image read would surface all 4 here
+    assert pre_dirs == {str(expect)}, pre_dirs
+    r = ch.first()
+    assert r["_before"] is not None
