@@ -11,8 +11,14 @@ from omicidx_etl_spark.cdc.replay import (
     replay_batch,
     replay_log,
 )
+from omicidx_etl_spark.cdc.subscribe import (
+    ChangelogSubscription,
+    replicate,
+)
 
 __all__ = [
+    "ChangelogSubscription",
+    "replicate",
     "build_sig_index",
     "canonicalize",
     "canonicalize_incremental",
