@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: list[str] = [
     "event_transitions_topk",
     "window_anomalies",
     "kmv_distinct_users",
+    "kmv_union_estimate",
     "pagerank_bipartite",
     "profile_table",
     # r4 additions (never driver-seen)
@@ -3607,4 +3608,78 @@ def profile_table(spark, sf_dir):
             "(column_name, n_nulls, n_distinct, min_val, max_val)"
         )
         .orderBy(F.asc("column_name"))
+    )
+
+
+@register(
+    "kmv_union_estimate",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        ((user_id % 1000003 + 1) * 48271 % 2147483647)
+          * 48271 % 2147483647 + 1 AS hv
+      FROM events),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h) WHERE rn <= 16),
+    merged AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sk)),
+    ex AS (SELECT COUNT(DISTINCT hv) AS nd FROM h)
+    SELECT CAST((SELECT COUNT(*) FROM sk) AS BIGINT) AS sketch_rows,
+           CAST(ex.nd AS BIGINT) AS exact_nd,
+           CAST(CASE WHEN ex.nd < 16 THEN ex.nd
+                ELSE (SELECT 15::BIGINT * 2147483647 // hv
+                      FROM merged WHERE rn = 16) END AS BIGINT)
+             AS union_estimate
+    FROM ex
+    """,
+)
+def kmv_union_estimate(spark, sf_dir):
+    """KMV sketch MERGEABILITY (the property that makes sketches work on
+    a cluster): per-event-type k=16 sketches (as `kmv_distinct_users`
+    builds) merge by set-union + re-taking the k smallest, and the merged
+    sketch's estimate equals the sketch of the union — because the k
+    minima of a union are always contained in the union of per-part k
+    minima. Here: 5 per-type sketches (<= 80 bounded rows) merge into ONE
+    global distinct-user estimate, compared against the exact hash-level
+    distinct count. The merge stage touches only |types|*k rows — this is
+    the two-level aggregation tree a 1000-executor distinct-count runs,
+    with the per-partition state made explicit. All arithmetic BIGINT
+    (cross-engine identical). Reference census rollup:
+    `omicidx_etl/build_db.py:70-87`."""
+    ev = _t(spark, sf_dir, "events")
+    h1 = (F.col("user_id") % 1000003 + 1) * 48271 % 2147483647
+    hv = (h1 * 48271 % 2147483647 + 1).alias("hv")
+    d = ev.select("event_type", hv).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("hv"))
+    sk = (
+        d.select("event_type", "hv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 16)
+    )
+    wg = Window.orderBy(F.asc("hv"))
+    merged = (
+        sk.select("hv")
+        .distinct()
+        .select("hv", F.row_number().over(wg).alias("rn"))
+    )
+    h16 = merged.filter(F.col("rn") == 16).select(
+        F.expr("cast(15 as bigint) * 2147483647 div hv").alias("est")
+    )
+    exact = d.select("hv").distinct().agg(
+        F.count(F.lit(1)).alias("exact_nd")
+    )
+    return (
+        sk.agg(F.count(F.lit(1)).alias("sketch_rows"))
+        .crossJoin(exact)
+        .crossJoin(h16.select(F.first("est").alias("est_raw")))
+        .select(
+            "sketch_rows",
+            "exact_nd",
+            F.when(F.col("exact_nd") < 16, F.col("exact_nd"))
+            .otherwise(F.col("est_raw"))
+            .alias("union_estimate"),
+        )
     )

@@ -626,3 +626,15 @@ def test_profile_table_single_pass(spark):
     plan = _plan(spark, "profile_table")
     assert len(_scans(plan)) == 1
     assert "Expand" in plan
+
+
+def test_kmv_union_merge_is_bounded(spark):
+    """kmv_union_estimate: the merge stage operates on the <=|types|*k
+    sketch rows only — the single-partition global window and the 1-row
+    joins are bounded; raw events are never globally sorted or
+    nested-loop joined."""
+    plan = _plan(spark, "kmv_union_estimate")
+    assert "CartesianProduct" not in plan
+    # only 1-row / sketch-row broadcast loops (the crossJoins of scalars)
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert plan.count("hashpartitioning(event_type") >= 1
