@@ -59,6 +59,11 @@ def main() -> None:
         "(omit to keep all tombstones)",
     )
     p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument(
+        "--build-blooms", action="store_true",
+        help="after compaction/expiry, build missing per-dir bloom "
+        "sidecars for point-lookup file skipping (incremental)",
+    )
     p.add_argument("--orphan-grace-s", type=float, default=3600.0)
     args = p.parse_args()
     if args.sort_by and args.zorder_by:
@@ -102,6 +107,7 @@ def main() -> None:
     t.expire_snapshots(
         keep_last=args.keep_last, orphan_grace_s=args.orphan_grace_s
     )
+    blooms = t.build_blooms() if args.build_blooms else None
     out = {
         "compacted_buckets": dirty_before,
         "compact_group": group,
@@ -109,6 +115,7 @@ def main() -> None:
         "zorder_by": zorder_by,
         "purged_before_seq": purged,
         "kept_snapshots": args.keep_last,
+        "blooms": blooms,
         "rows_after": t.read().count(),
         "sec": round(time.time() - t0, 3),
     }

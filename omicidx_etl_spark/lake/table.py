@@ -508,6 +508,7 @@ class LakeTable:
         tag: str | None = None,
         where: "list[tuple[str, str, Any]] | None" = None,
         as_of_ts: float | None = None,
+        skip_dirs: "set[str] | None" = None,
     ) -> DataFrame:
         """Snapshot-isolated read; optionally pruned to a bucket subset.
 
@@ -589,6 +590,13 @@ class LakeTable:
             dirty = bool(entry["deltas"])
             files = ([entry["base"]] if entry["base"] else []) + entry["deltas"]
             for fe in files:
+                # skip_dirs is KEY-granularity dir exclusion (bloom-proven
+                # absent for every probed key): such a dir contributes no
+                # rows for those keys, so dropping it cannot change their
+                # latest-seq reconciliation. `dirty` stays as computed —
+                # a conservative aggregation over the surviving dirs.
+                if skip_dirs and fe["dir"] in skip_dirs:
+                    continue
                 by_schema.setdefault((fe["schema_id"], dirty), []).append(
                     os.path.join(self.root, fe["dir"])
                 )
@@ -663,7 +671,7 @@ class LakeTable:
         }
         return kept
 
-    def lookup(self, keys: list) -> DataFrame:
+    def lookup(self, keys: list, use_blooms: bool = True) -> DataFrame:
         """Point lookup by key(s): bucket-pruned read + key filter.
 
         A key lives in exactly one bucket (the table's hash transform), so
@@ -673,7 +681,13 @@ class LakeTable:
         reference's per-accession entity fetch
         (``omicidx_etl/sra/catalog.py:151-168``). The key predicate is also
         pushed into the parquet reader for row-group pruning within the
-        bucket."""
+        bucket.
+
+        Within the probed buckets, dirs carrying a bloom sidecar
+        (``build_blooms``) that excludes every probed key are skipped
+        entirely — the MOR delta-chain defense: a 1-base + N-delta bucket
+        reads only the dirs that might hold a probed key. Dirs without a
+        sidecar always scan (safe default)."""
         snap = self.snapshot()
         key, nb = snap["table"]["key"], snap["table"]["n_buckets"]
         kdf = self.spark.createDataFrame(
@@ -682,7 +696,27 @@ class LakeTable:
         buckets = sorted(
             r["b"] for r in kdf.select(bucket_expr(key, nb).alias("b")).distinct().collect()
         )
-        return self.read(buckets=buckets).filter(F.col(key).isin(list(keys)))
+        skip: "set[str] | None" = None
+        if use_blooms:
+            from omicidx_etl_spark.lake.bloom import dirs_to_skip
+
+            cand = []
+            for b in buckets:
+                e = _norm_entry(snap["buckets"].get(str(b)))
+                for fe in ([e["base"]] if e["base"] else []) + e["deltas"]:
+                    cand.append(fe["dir"])
+            skip = dirs_to_skip(self, keys, cand) or None
+        return self.read(buckets=buckets, skip_dirs=skip).filter(
+            F.col(key).isin(list(keys))
+        )
+
+    def build_blooms(self, **kw) -> dict[str, int]:
+        """Build per-dir bloom sidecars for point-lookup file skipping —
+        see ``lake.bloom.build_blooms`` (incremental, idempotent; run from
+        the maintenance job cadence)."""
+        from omicidx_etl_spark.lake.bloom import build_blooms
+
+        return build_blooms(self, **kw)
 
     def changes(
         self,

@@ -48,12 +48,14 @@ def test_maintain_job_end_to_end(spark, tmp_path, monkeypatch, capsys):
             "--purge-before-seq", str(max_seq + 1),
             "--keep-last", "2",
             "--orphan-grace-s", "0",
+            "--build-blooms",
         ],
     )
     MJ.main()
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["compacted_buckets"] > 0
     assert out["rows_after"] == len(before)
+    assert out["blooms"]["built"] > 0
 
     t2 = LakeTable.load(spark, root)
     after = sorted(
