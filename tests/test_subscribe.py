@@ -166,3 +166,61 @@ def test_subscription_with_pre_images(spark, tmp_path, src):
     df, _, _ = sub.poll()
     row = df.first()
     assert row["_before"]["tokens"] == list(old["tokens"])
+
+
+# --------------------------------------------------------------- property
+def test_replication_converges_under_random_crashes(spark, tmp_path):
+    """Property-style: a random multi-commit source history drained by a
+    consumer that randomly crashes between apply and ack (the worst spot)
+    still converges to source == replica once a final clean replicate
+    runs. Deterministic seed; exercises overlapping-interval re-applies
+    and watermark skips together."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    src = LakeTable.create(
+        spark, str(tmp_path / "psrc"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    dst = LakeTable.create(
+        spark, str(tmp_path / "pdst"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    sub = ChangelogSubscription(src, str(tmp_path / "pckpt"))
+    seq = 0
+    for _ in range(6):
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            seq += 1
+            doc = f"doc{rng.randint(0, 9)}"
+            if rng.random() < 0.3:
+                rows.append((seq, "D", doc, None, None, None))
+            else:
+                rows.append((seq, "U", doc, [seq], 1, "web"))
+        src.merge(dedup_latest(_changes_df(spark, rows)), mode="mor")
+        roll = rng.random()
+        if roll < 0.4:
+            continue  # consumer lagging: next poll covers several commits
+        if roll < 0.7:
+            # crash AFTER apply, BEFORE ack
+            polled = sub.poll()
+            if polled is None:
+                continue
+            df, _, to_sid = polled
+            batch = df.select(
+                F.when(F.col("_change_type") == "delete", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("_seq").alias("seq"),
+                *[c for c in df.columns if c not in ("_change_type", "_seq")],
+            )
+            dst.merge(
+                batch, app_id=f"replicate:{sub.consumer_id}", batch_id=to_sid,
+                mode="mor",
+            )
+            # no ack: offset still points at the old sid
+        else:
+            replicate(sub, dst, mode="mor")
+    # final clean drain
+    replicate(sub, dst, mode="mor")
+    assert _sorted_rows(dst) == _sorted_rows(src)
