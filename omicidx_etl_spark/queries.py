@@ -54,6 +54,8 @@ _DRIVER_PRIORITY: list[str] = [
     "window_anomalies",
     "kmv_distinct_users",
     "kmv_union_estimate",
+    "rolling_daily_stats",
+    "triangle_count",
     "pagerank_bipartite",
     "profile_table",
     # r4 additions (never driver-seen)
@@ -3682,4 +3684,171 @@ def kmv_union_estimate(spark, sf_dir):
             .otherwise(F.col("est_raw"))
             .alias("union_estimate"),
         )
+    )
+
+
+@register(
+    "rolling_daily_stats",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS epoch_day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, day, n,
+           CAST(SUM(n) OVER (
+             PARTITION BY event_type ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling_7d,
+           CAST(n - COALESCE(LAG(n) OVER (
+             PARTITION BY event_type ORDER BY epoch_day), 0) AS BIGINT)
+             AS dod_delta
+    FROM c ORDER BY event_type ASC, day ASC LIMIT 200
+    """,
+)
+def rolling_daily_stats(spark, sf_dir):
+    """Trend analytics over the daily event rollup: per-type 7-day
+    ROLLING sum via a RANGE frame keyed on integer epoch-day (value-based
+    framing — gap days genuinely age out of the window, which a
+    ROWS-frame over sparse days gets wrong) plus the day-over-day delta
+    via lag. Both windows share one event_type partition → the reduced
+    (types x days) table is exchanged once; the heavy rollup beneath is
+    the map-side-combinable count. All BIGINT (counts), no float. The
+    streaming analogue is `streaming.windowed_event_stats`; this is the
+    batch backfill shape. Reference running-metrics:
+    `omicidx_etl/lineage.py:60-75`."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    c = (
+        ev.groupBy(
+            "event_type",
+            day.cast("string").alias("day"),
+            F.datediff(day, F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    wl = Window.partitionBy("event_type").orderBy("epoch_day")
+    return (
+        c.select(
+            "event_type",
+            "day",
+            "n",
+            F.sum("n").over(wr).alias("rolling_7d"),
+            (F.col("n") - F.coalesce(F.lag("n").over(wl), F.lit(0)))
+            .cast("long")
+            .alias("dod_delta"),
+        )
+        .orderBy(F.asc("event_type"), F.asc("day"))
+        .limit(200)
+    )
+
+
+@register(
+    "triangle_count",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l.l_partkey AS a, r.l_partkey AS b
+      FROM lineitem l JOIN lineitem r
+        ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey
+      WHERE l.l_orderkey % 20 = 0),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY 1),
+    -- total-order orientation key: low-(degree, id) -> high-(degree, id)
+    k AS (SELECT node, d * 1099511627776 + node AS kk FROM deg),
+    ed AS (
+      SELECT CASE WHEN ka.kk < kb.kk THEN e0.a ELSE e0.b END AS src,
+             CASE WHEN ka.kk < kb.kk THEN e0.b ELSE e0.a END AS dst,
+             CASE WHEN ka.kk < kb.kk THEN kb.kk ELSE ka.kk END AS kdst
+      FROM e0 JOIN k ka ON e0.a = ka.node JOIN k kb ON e0.b = kb.node),
+    wedge AS (
+      SELECT e1.dst AS v, e2.dst AS w
+      FROM ed e1 JOIN ed e2
+        ON e1.src = e2.src AND e1.kdst < e2.kdst),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM wedge JOIN ed ON wedge.v = ed.src AND wedge.w = ed.dst)
+    SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def triangle_count(spark, sf_dir):
+    """Distributed triangle counting (degree-oriented wedge join — the
+    MapReduce-standard algorithm of Suri & Vassilvitskii 2011) over the
+    part co-purchase graph: distinct part pairs sharing an order, on a
+    deterministic 5% order sample (l_orderkey % 20 = 0) so the sf1 oracle
+    stays tractable while the Spark shape is scale-free. Each undirected
+    edge orients low->high by the total order (degree, node) — packed
+    into ONE BIGINT key d*2^40+node so the comparison is a single integer
+    — which caps per-node out-degree at O(sqrt(m)) and hence wedges at
+    O(m^1.5) worst case, typically far less; triangles are wedges whose
+    closing (v,w) edge exists (an equi semi-join, never a cartesian).
+    Every stage is a hash join on node keys — width-proportional at
+    10^10 edges. Output: exact edge and triangle counts. Same
+    iterative-graph family as pagerank_bipartite / connected_components."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.filter(F.col("l_orderkey") % 20 == 0)
+    l, r = li.alias("l"), li.alias("r")
+    e0 = (
+        l.join(
+            r,
+            (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+            & (F.col("l.l_partkey") < F.col("r.l_partkey")),
+        )
+        .select(
+            F.col("l.l_partkey").alias("a"), F.col("r.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    kk = deg.select(
+        "node", (F.col("d") * F.lit(1099511627776).cast("long") + F.col("node")).alias("kk")
+    )
+    ka, kb = kk.alias("ka"), kk.alias("kb")
+    ed = (
+        e0.join(ka, F.col("a") == F.col("ka.node"))
+        .join(kb, F.col("b") == F.col("kb.node"))
+        .select(
+            F.when(F.col("ka.kk") < F.col("kb.kk"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("ka.kk") < F.col("kb.kk"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+            F.greatest(F.col("ka.kk"), F.col("kb.kk")).alias("kdst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = ed.alias("e1"), ed.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.kdst") < F.col("e2.kdst")),
+    ).select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+    tri = wedge.join(
+        ed.select("src", "dst"),
+        (F.col("v") == F.col("src")) & (F.col("w") == F.col("dst")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        e0.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(tri)
+        .select("n_edges", "n_triangles")
     )

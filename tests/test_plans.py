@@ -638,3 +638,25 @@ def test_kmv_union_merge_is_bounded(spark):
     # only 1-row / sketch-row broadcast loops (the crossJoins of scalars)
     assert plan.count("BroadcastNestedLoopJoin") <= 3
     assert plan.count("hashpartitioning(event_type") >= 1
+
+
+def test_rolling_stats_single_exchange_over_reduced_table(spark):
+    """rolling_daily_stats: the range-frame and lag windows share one
+    event_type partition over the ALREADY-REDUCED daily table — 2
+    exchanges total (rollup + window), no join."""
+    plan = _plan(spark, "rolling_daily_stats")
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """triangle_count: orientation caps the wedge join; every stage is an
+    equi hash join on node keys — no cartesian, no theta nested-loop
+    (the closing-edge check is an equi join on (v,w)), and the base edge
+    list comes from checkpoint blocks, not re-derived scans."""
+    plan = _plan(spark, "triangle_count")
+    assert "CartesianProduct" not in plan
+    # only the final 1-row count crossJoin may appear as a nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Scan parquet" not in plan or plan.count("Scan parquet") == 0
