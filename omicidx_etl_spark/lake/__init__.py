@@ -1,3 +1,7 @@
-from omicidx_etl_spark.lake.table import CommitConflict, LakeTable
+from omicidx_etl_spark.lake.table import (
+    CommitConflict,
+    ConstraintViolation,
+    LakeTable,
+)
 
-__all__ = ["CommitConflict", "LakeTable"]
+__all__ = ["CommitConflict", "ConstraintViolation", "LakeTable"]

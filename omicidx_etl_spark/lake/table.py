@@ -101,6 +101,14 @@ class CommitConflict(RuntimeError):
     operation against the new current snapshot."""
 
 
+class ConstraintViolation(RuntimeError):
+    """An incoming batch carries rows that fail a table CHECK constraint
+    (``add_constraint``) under ``on_violation='fail'``. Nothing was
+    committed — constraints are validated BEFORE staging, so the table
+    is unchanged. The message names each violated constraint and its
+    violating-row count."""
+
+
 @contextlib.contextmanager
 def _commit_lock(meta_dir: str):
     """Serialize the commit critical section (validate parent → write
@@ -718,6 +726,112 @@ class LakeTable:
 
         return build_blooms(self, **kw)
 
+    # ------------------------------------------------------------ constraints
+    def add_constraint(
+        self, name: str, expr: str, validate: bool = True
+    ) -> dict[str, Any]:
+        """Add a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`):
+        every future write validates its batch against ``expr`` before
+        staging. Standard-SQL CHECK semantics: a row violates only when
+        the expression evaluates to FALSE — NULL/unknown passes (delete
+        events' NULL payloads are additionally exempt by construction).
+
+        ``validate=True`` first proves the EXISTING table satisfies the
+        constraint (one scan — O(table), the Delta behavior; pass False
+        for a large table known-clean to register without scanning).
+        Constraint metadata rides the snapshot, so it is versioned,
+        branch-visible, and survives ``load``."""
+        snap = self.snapshot()
+        cons = dict(snap.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        # resolution check against the current schema (typo'd columns fail
+        # HERE, not at the next merge)
+        probe = self.spark.createDataFrame([], _phys(self.current_schema(snap)))
+        probe.filter(F.expr(expr)).schema
+        if validate:
+            n_bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r}: {n_bad} existing "
+                    f"row(s) violate ({expr})"
+                )
+        cons[name] = expr
+        return self._commit(
+            snap, snap["snapshot_id"] + 1, dict(snap["buckets"]), None, None,
+            summary={"operation": "add_constraint", "constraint": name,
+                     "expr": expr},
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> dict[str, Any]:
+        snap = self.snapshot()
+        cons = dict(snap.get("constraints") or {})
+        if name not in cons:
+            raise KeyError(f"unknown constraint {name!r}")
+        del cons[name]
+        return self._commit(
+            snap, snap["snapshot_id"] + 1, dict(snap["buckets"]), None, None,
+            summary={"operation": "drop_constraint", "constraint": name},
+            constraints=cons,
+        )
+
+    def constraints(self) -> dict[str, str]:
+        return dict(self.snapshot().get("constraints") or {})
+
+    def _enforce_constraints(
+        self,
+        df: DataFrame,
+        cons: "dict[str, str]",
+        on_violation: str,
+        exempt: "Any | None" = None,
+    ) -> "tuple[DataFrame, dict[str, Any]]":
+        """Validate a write batch against CHECK constraints BEFORE staging.
+        ``exempt`` rows (delete events — their payload is NULL by design)
+        are never checked. ``'fail'``: one batch-sized aggregation counts
+        violations per constraint and raises :class:`ConstraintViolation`
+        (nothing staged, table unchanged); ``'drop'``: violating rows are
+        filtered out and the count reported in the commit summary. Cost:
+        one extra pass over the BATCH, never the table."""
+        if on_violation not in ("fail", "drop"):
+            raise ValueError(
+                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+            )
+        checked = [
+            (n, F.coalesce(F.expr(e), F.lit(True)))
+            for n, e in sorted(cons.items())
+        ]
+        ex = exempt if exempt is not None else F.lit(False)
+        if on_violation == "fail":
+            row = df.agg(
+                *[
+                    F.sum((~c & ~ex).cast("long")).alias(n)
+                    for n, c in checked
+                ]
+            ).first()
+            bad = {
+                n: int(row[n]) for n, _ in checked if row[n]
+            }
+            if bad:
+                raise ConstraintViolation(
+                    "constraint(s) violated, nothing committed: "
+                    + ", ".join(
+                        f"{n} ({cons[n]}): {c} row(s)"
+                        for n, c in sorted(bad.items())
+                    )
+                )
+            return df, {}
+        keep = None
+        for _, c in checked:
+            term = c | ex
+            keep = term if keep is None else keep & term
+        dropped = int(df.filter(~keep).count())
+        return df.filter(keep), {"constraint_dropped_rows": dropped}
+
     def changes(
         self,
         from_sid: int,
@@ -882,10 +996,12 @@ class LakeTable:
         app_id: str | None = None,
         batch_id: int | None = None,
         seq_value: int = 0,
+        on_violation: str = "fail",
     ) -> dict[str, Any]:
         """Replace the whole table content atomically (initial load path).
         Rows get version ``seq_value`` (later change events must carry a
-        higher seq to supersede them)."""
+        higher seq to supersede them). CHECK constraints are enforced on
+        the incoming rows (``on_violation``: 'fail' | 'drop')."""
         snap = self.snapshot()
         if _already_committed(snap, app_id, batch_id):
             return _skipped(snap, app_id, batch_id)
@@ -897,12 +1013,19 @@ class LakeTable:
             .withColumn(DELETED_COL, F.lit(False))
             .withColumn(BUCKET_COL, bucket_expr(key, nb))
         )
+        cons = snap.get("constraints") or {}
+        cons_info: dict[str, Any] = {}
+        if cons:
+            aligned, cons_info = self._enforce_constraints(
+                aligned, cons, on_violation
+            )
         new_sid = snap["snapshot_id"] + 1
         rel = self._stage_write(aligned, new_sid, nb)
         buckets = _base_only_buckets(rel, nb, snap["current_schema_id"], mk=self._file_entry)
         return self._commit(
             snap, new_sid, buckets, app_id, batch_id,
-            summary={"operation": "overwrite", "max_seq": seq_value},
+            summary={"operation": "overwrite", "max_seq": seq_value,
+                     **cons_info},
         )
 
     # ----------------------------------------------------------------- merge
@@ -919,6 +1042,7 @@ class LakeTable:
         fanout: bool = False,
         branch: str | None = None,
         pre_bucketed: bool = False,
+        on_violation: str = "fail",
     ) -> dict[str, Any]:
         """MERGE INTO this table USING ``changes`` ON key, versioned:
 
@@ -990,6 +1114,19 @@ class LakeTable:
             is_del.alias(DELETED_COL),
             F.col(BUCKET_COL),
         )
+        cons = snap.get("constraints") or {}
+        if cons:
+            # CHECK constraints gate the batch BEFORE staging; delete
+            # events are exempt (their payload is NULL by design)
+            ch_phys, cons_info = self._enforce_constraints(
+                ch_phys, cons, on_violation, exempt=F.col(DELETED_COL)
+            )
+            if cons_info:
+                prev = extra_summary
+                extra_summary = lambda: {  # noqa: E731
+                    **(prev() if callable(prev) else (prev or {})),
+                    **cons_info,
+                }
         new_sid = snap["snapshot_id"] + 1
 
         if mode == "mor":
@@ -1746,6 +1883,7 @@ class LakeTable:
         rebase: "Callable[[dict], dict[str, Any]] | None" = None,
         ref: str | None = None,
         table_meta: "dict[str, Any] | None" = None,
+        constraints: "dict[str, str] | None" = None,
     ) -> dict[str, Any]:
         """Optimistic-concurrency commit (Iceberg commit protocol): data
         files are already staged; under the commit lock, validate that the
@@ -1795,6 +1933,11 @@ class LakeTable:
                 "current_schema_id": parent["current_schema_id"],
                 "schemas": parent["schemas"],
                 "field_ids": parent.get("field_ids"),
+                "constraints": (
+                    constraints
+                    if constraints is not None
+                    else parent.get("constraints") or {}
+                ),
                 "buckets": buckets,
                 "txn": txn,
                 "summary": dict(summary, skipped=False),

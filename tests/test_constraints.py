@@ -1,0 +1,143 @@
+"""CHECK constraints: write-time data-quality enforcement (Delta
+ADD CONSTRAINT semantics — violation iff the expression is FALSE;
+NULL/unknown passes; delete events exempt)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.cdc import dedup_latest
+from omicidx_etl_spark.lake import ConstraintViolation, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def _changes_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=4)
+    t.overwrite(datagen.gen_sequences(spark, 40, seed=9))
+    return t
+
+
+def test_violating_merge_fails_atomically(spark, table):
+    table.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    sid = table.snapshot()["snapshot_id"]
+    before = table.read().count()
+    with pytest.raises(ConstraintViolation, match="n_tok_nonneg.*1 row"):
+        table.merge(
+            dedup_latest(
+                _changes_df(
+                    spark,
+                    [
+                        (100, "U", "ok_doc", [1], 1, "web"),
+                        (101, "U", "bad_doc", [1], -5, "web"),
+                    ],
+                )
+            )
+        )
+    # nothing staged became visible
+    assert table.snapshot()["snapshot_id"] == sid
+    assert table.read().count() == before
+
+
+def test_on_violation_drop_filters_and_reports(spark, table):
+    table.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    out = table.merge(
+        dedup_latest(
+            _changes_df(
+                spark,
+                [
+                    (100, "U", "ok_doc", [1], 1, "web"),
+                    (101, "U", "bad_doc", [1], -5, "web"),
+                ],
+            )
+        ),
+        on_violation="drop",
+    )
+    assert out["summary"]["constraint_dropped_rows"] == 1
+    got = {r["doc_id"] for r in table.lookup(["ok_doc", "bad_doc"]).collect()}
+    assert got == {"ok_doc"}
+
+
+def test_deletes_exempt_and_nulls_pass(spark, table):
+    table.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    # a delete (NULL payload) and an upsert with NULL n_tok both pass:
+    # CHECK is violated only by FALSE, and deletes are exempt entirely
+    table.merge(
+        dedup_latest(
+            _changes_df(
+                spark,
+                [
+                    (100, "D", "doc_00000001", None, None, None),
+                    (101, "U", "nullish", [1], None, "web"),
+                ],
+            )
+        )
+    )
+    assert table.read().filter("doc_id = 'doc_00000001'").count() == 0
+
+
+def test_add_constraint_validates_existing_rows(spark, table):
+    table.merge(
+        dedup_latest(_changes_df(spark, [(100, "U", "neg", [1], -1, "web")]))
+    )
+    with pytest.raises(ConstraintViolation, match="existing"):
+        table.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    # validate=False registers anyway (known-clean / backfill-later path)
+    table.add_constraint("n_tok_nonneg", "n_tok >= 0", validate=False)
+    assert "n_tok_nonneg" in table.constraints()
+
+
+def test_constraint_persists_and_drops(spark, tmp_path, table):
+    table.add_constraint("src_known", "source in ('web','books','code','wiki')")
+    t2 = LakeTable.load(spark, table.root)
+    assert t2.constraints() == {"src_known": "source in ('web','books','code','wiki')"}
+    with pytest.raises(ConstraintViolation):
+        t2.merge(
+            dedup_latest(
+                _changes_df(spark, [(100, "U", "x", [1], 1, "martian")])
+            )
+        )
+    t2.drop_constraint("src_known")
+    t2.merge(
+        dedup_latest(_changes_df(spark, [(100, "U", "x", [1], 1, "martian")]))
+    )
+    assert t2.lookup(["x"]).count() == 1
+
+
+def test_bad_expression_fails_at_add_time(table):
+    with pytest.raises(Exception):
+        table.add_constraint("typo", "no_such_column > 0")
+    assert "typo" not in table.constraints()
+
+
+def test_overwrite_enforces(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "o"), SCHEMA, key="doc_id", n_buckets=2
+    )
+    t.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    bad = spark.createDataFrame(
+        [("a", [1], -1, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ConstraintViolation):
+        t.overwrite(bad)
+    out = t.overwrite(bad, on_violation="drop")
+    assert out["summary"]["constraint_dropped_rows"] == 1
+    assert t.read().count() == 0
