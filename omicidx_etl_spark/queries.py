@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: list[str] = [
     "kmv_union_estimate",
     "rolling_daily_stats",
     "triangle_count",
+    "jaccard_source_vocab",
+    "histogram_prices",
     "pagerank_bipartite",
     "profile_table",
     # r4 additions (never driver-seen)
@@ -3851,4 +3853,117 @@ def triangle_count(spark, sf_dir):
         e0.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(tri)
         .select("n_edges", "n_triangles")
+    )
+
+
+@register(
+    "jaccard_source_vocab",
+    """
+    WITH v AS (
+      SELECT DISTINCT source, w AS term
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(TRIM(lower(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_e6
+    FROM inter JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+    ORDER BY src_a ASC, src_b ASC
+    """,
+)
+def jaccard_source_vocab(spark, sf_dir):
+    """Set-similarity JOIN between group-level sets: pairwise Jaccard of
+    the source vocabularies (corpus-drift / domain-overlap monitoring).
+    Shape: tokenize once → distinct (source, term) — the combinable
+    dedup is the only corpus-sized exchange — then intersections via a
+    TERM-keyed equi self-join (a term joins only its own postings; never
+    a cartesian of vocabularies) and |A∪B| by inclusion-exclusion from
+    broadcast per-source sizes. Jaccard as exact integer permillion
+    (n∩·10^6 div (nA+nB−n∩)) — bit-identical cross-engine. With 10^4
+    groups the same plan computes all-pairs overlap from one postings
+    join. Same tokenizer convention as `top_tokens`/`tfidf_top_terms`.
+    Reference cross-entity link census: `omicidx_etl/sql/030_entity_links
+    .sql:1-20`."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    v = (
+        d.select("source", F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "n_common * cast(1000000 as bigint) div (n_a + n_b - n_common)"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy(F.asc("src_a"), F.asc("src_b"))
+    )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(FLOOR(FLOOR(o_totalprice * 100 + 0.5) / 2500000) AS BIGINT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders GROUP BY 1 ORDER BY bin ASC
+    """,
+)
+def histogram_prices(spark, sf_dir):
+    """Equi-width histogram of order totals (25k-currency bins over exact
+    cents): the profiling primitive behind optimizer column statistics
+    and distribution dashboards. Pure map-side binning (fixed-point cents
+    then integer floor-div — no data-dependent bounds pass) + one
+    combinable count/min/max rollup over a keyspace bounded by the value
+    range, independent of row count. Scan→Expand-free single exchange.
+    Reference census: `omicidx_etl/build_db.py:70-87`."""
+    o = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        o.select(
+            F.floor(cents / F.lit(2500000)).cast("long").alias("bin"),
+            cents.alias("cents"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy(F.asc("bin"))
     )

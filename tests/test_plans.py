@@ -660,3 +660,28 @@ def test_triangle_count_equi_joins_only(spark):
     # only the final 1-row count crossJoin may appear as a nested loop
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "Scan parquet" not in plan or plan.count("Scan parquet") == 0
+
+
+def test_jaccard_vocab_term_keyed_join(spark):
+    """jaccard_source_vocab: intersections come from a TERM-keyed equi
+    self-join of the deduped postings (never a cartesian of vocabularies);
+    per-source sizes join via broadcast."""
+    plan = _plan(spark, "jaccard_source_vocab")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two size lookups
+    # the intersection join is KEYED on term (equi): at test SF Catalyst
+    # may broadcast it (size-based, no hint — degrades to shuffle at
+    # scale); what must never appear is a non-equi vocabulary product
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[term", plan)
+
+
+def test_histogram_single_combinable_exchange(spark):
+    """histogram_prices: fixed-bound binning is scan-local; the only wide
+    stage is one combinable count/min/max rollup over the bin keyspace."""
+    plan = _plan(spark, "histogram_prices")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan and "partial_min" in plan
+    assert "Join" not in plan
