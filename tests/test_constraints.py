@@ -141,3 +141,51 @@ def test_overwrite_enforces(spark, tmp_path):
     out = t.overwrite(bad, on_violation="drop")
     assert out["summary"]["constraint_dropped_rows"] == 1
     assert t.read().count() == 0
+
+
+def test_streaming_violating_batch_quarantined(spark, tmp_path):
+    """Integration with stream_replay: a micro-batch violating a table
+    CHECK constraint routes to _quarantine (data landed, error names the
+    constraint) while clean batches commit — constraints compose with the
+    T6 poison-batch machinery instead of wedging the stream."""
+    import json as _json
+    import os
+
+    from omicidx_etl_spark import datagen
+    from omicidx_etl_spark.streaming import stream_replay
+
+    log = str(tmp_path / "log")
+    ch = datagen.gen_changes(spark, 3000, 200, seed=13)
+    # poison the rows of one seq slice: negative n_tok on non-deletes
+    from pyspark.sql import functions as F
+
+    poisoned = ch.withColumn(
+        "n_tok",
+        F.when(
+            (F.col("seq") >= 1000) & (F.col("seq") < 2000) & (F.col("op") != "D"),
+            F.lit(-1),
+        ).otherwise(F.col("n_tok")),
+    )
+    datagen.write_change_log(poisoned, log, files=3)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=4
+    )
+    t.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    committed = stream_replay(
+        spark, t, log, str(tmp_path / "ckpt"), app_id="cq",
+        max_files_per_trigger=1,
+    )
+    quar = [c for c in committed if c.get("quarantined")]
+    good = [c for c in committed if not c.get("quarantined")]
+    # the poisoned seq slice may span file boundaries: >=1 quarantined,
+    # every other batch committed
+    assert len(quar) >= 1 and len(good) == 3 - len(quar) and good
+    assert "n_tok_nonneg" in quar[0]["error"]
+    qdir = os.path.join(
+        str(tmp_path / "t"), "_quarantine", f"batch-{quar[0]['batch_id']:09d}"
+    )
+    with open(os.path.join(qdir, "error.json")) as f:
+        assert "ConstraintViolation" in _json.load(f)["error"]
+    # no committed row violates
+    assert t.read().filter("n_tok < 0").count() == 0
