@@ -54,6 +54,11 @@ def main() -> int:
     p.add_argument("--create-dst", action="store_true")
     p.add_argument("--loop", type=int, default=1,
                    help="number of polls (0 = forever)")
+    p.add_argument("--verify-count", action="store_true",
+                   help="after an applied poll, count the replica (a FULL "
+                   "table read — O(replica), for audits; default reports "
+                   "the merge summary's rows_written, keeping every run "
+                   "O(delta))")
     p.add_argument("--interval-s", type=float, default=30.0)
     args = p.parse_args()
 
@@ -93,11 +98,18 @@ def main() -> int:
     while True:
         t0 = time.time()
         out = replicate(sub, dst, mode=args.mode)
+        summ = out.get("summary") or {}
         line = {
             "applied": out["applied"],
             "from_sid": out.get("from_sid"),
             "to_sid": out.get("to_sid"),
-            "rows_replica": dst.read().count() if out["applied"] else None,
+            "rows_written": summ.get("rows_written"),
+            "skipped": summ.get("skipped"),
+            "rows_replica": (
+                dst.read().count()
+                if args.verify_count and out["applied"]
+                else None
+            ),
             "sec": round(time.time() - t0, 2),
         }
         print(json.dumps(line), flush=True)

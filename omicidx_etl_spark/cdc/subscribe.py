@@ -20,24 +20,37 @@ table-to-table incremental replication:
 - **lossiness guards propagate**: a ``purge_tombstones`` or ``rollback``
   inside the un-acked interval raises from ``changes()`` (never a silently
   incomplete replica).
+- **retention-safe bootstrap**: ``start_from="begin"`` replays the
+  changelog only when the table's CREATION snapshot is still retained;
+  once ``expire_snapshots`` has truncated history, the changelog can no
+  longer prove completeness from the oldest retained snapshot (keys last
+  modified at or before it would silently never appear), so the first
+  poll instead delivers a FULL-STATE image of the current snapshot as
+  upserts carrying the stored per-row seqs (the Delta CDF
+  "initial snapshot then changes" semantics) and increments follow.
 
 Scale: each poll costs O(changes in the interval) — the changelog scan
 reads only dirs added since the acked snapshot — and the replica merge
 rewrites only touched buckets. A 10^10-row source with a 10^6-row daily
-delta replicates in delta time, never table time.
+delta replicates in delta time, never table time (the snapshot-image
+bootstrap is the one intentionally O(table) poll).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from omicidx_etl_spark.lake.table import LakeTable
+from omicidx_etl_spark.lake.table import (
+    DELETED_COL,
+    SEQ_COL,
+    LakeTable,
+    atomic_write_json,
+)
 
 
 class ChangelogSubscription:
@@ -47,11 +60,13 @@ class ChangelogSubscription:
     ``<checkpoint_dir>/<consumer_id>.json``, written atomically
     (tmp + rename) so a crash mid-ack leaves the previous offset intact.
 
-    ``start_from``: ``"begin"`` (default) replays history from the
-    table's first snapshot — the bootstrap path for a new consumer;
-    ``"current"`` subscribes to future changes only; an ``int`` pins an
-    explicit snapshot id (e.g. resuming a consumer whose offset store
-    moved).
+    ``start_from``: ``"begin"`` (default) bootstraps a new consumer —
+    changelog replay from the creation snapshot when retention still
+    holds it, otherwise a full-state snapshot image first (see module
+    docstring); ``"current"`` subscribes to future changes only; an
+    ``int`` pins an explicit snapshot id (e.g. resuming a consumer whose
+    offset store moved — the caller asserts that id's changelog suffix
+    is sufficient).
     """
 
     def __init__(
@@ -68,45 +83,78 @@ class ChangelogSubscription:
         self._path = os.path.join(checkpoint_dir, f"{consumer_id}.json")
         os.makedirs(checkpoint_dir, exist_ok=True)
         if not os.path.exists(self._path):
+            pending = False
             if start_from == "begin":
-                sid = self.table.history()[0]["snapshot_id"]
+                first = self.table.history()[0]
+                if first.get("parent_id") is None:
+                    sid = first["snapshot_id"]
+                else:
+                    # retention truncated history: changelog replay from
+                    # the oldest RETAINED snapshot would silently miss
+                    # every key last modified at or before it — deliver a
+                    # snapshot image first instead
+                    sid = None
+                    pending = True
             elif start_from == "current":
                 sid = self.table.snapshot()["snapshot_id"]
             else:
                 sid = int(start_from)
-            self._write_offset(sid)
+            self._write_offset(sid, pending)
 
     # ------------------------------------------------------------- offsets
-    def offset(self) -> int:
+    def _state(self) -> dict[str, Any]:
         with open(self._path) as f:
-            return int(json.load(f)["acked_sid"])
+            return json.load(f)
 
-    def _write_offset(self, sid: int) -> None:
-        tmp = f"{self._path}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"acked_sid": sid, "consumer_id": self.consumer_id}, f)
-        os.replace(tmp, self._path)
+    def offset(self) -> "int | None":
+        """Last acked snapshot id (None while a snapshot-image bootstrap
+        is still pending its first ack)."""
+        return self._state()["acked_sid"]
+
+    def bootstrap_pending(self) -> bool:
+        return bool(self._state().get("bootstrap_pending"))
+
+    def _write_offset(self, sid: "int | None", pending: bool = False) -> None:
+        atomic_write_json(
+            self._path,
+            {
+                "acked_sid": sid,
+                "bootstrap_pending": pending,
+                "consumer_id": self.consumer_id,
+            },
+        )
 
     def ack(self, to_sid: int) -> None:
         """Advance the durable offset. Call only after the polled interval
-        is fully applied downstream; monotonicity is enforced (acking
-        backwards would re-deliver already-applied changes to a consumer
-        that believes them new)."""
+        (or bootstrap image) is fully applied downstream; monotonicity is
+        enforced (acking backwards would re-deliver already-applied
+        changes to a consumer that believes them new)."""
         cur = self.offset()
-        if to_sid < cur:
+        if cur is not None and to_sid < cur:
             raise ValueError(f"ack({to_sid}) below current offset {cur}")
-        self._write_offset(to_sid)
+        self._write_offset(to_sid, pending=False)
 
     # --------------------------------------------------------------- polling
-    def poll(self) -> "tuple[DataFrame, int, int] | None":
-        """Net per-key changes in ``(offset, current]`` as
-        ``(df, from_sid, to_sid)``, or ``None`` when the consumer is
-        caught up. ``df`` carries ``_change_type`` and ``_seq`` (the
-        source's per-key version — what makes downstream applies
-        order-independent), plus ``_before`` when subscribed with
-        pre-images."""
-        from_sid = self.offset()
+    def poll(self) -> "tuple[DataFrame, int | None, int] | None":
+        """Changes since the offset as ``(df, from_sid, to_sid)``, or
+        ``None`` when caught up. ``df`` carries ``_change_type`` and
+        ``_seq`` (the source's per-key version — what makes downstream
+        applies order-independent), plus ``_before`` when subscribed with
+        pre-images. A pending snapshot-image bootstrap returns the full
+        current state as upserts with ``from_sid=None`` (no pre-images —
+        every row is an initial load)."""
+        st = self._state()
         to_sid = self.table.snapshot()["snapshot_id"]
+        if st.get("bootstrap_pending"):
+            full = self.table.read(include_system=True)
+            cols = [c for c in full.columns if c not in (SEQ_COL, DELETED_COL)]
+            df = full.select(
+                *cols,
+                F.lit("upsert").alias("_change_type"),
+                F.col(SEQ_COL).alias("_seq"),
+            )
+            return df, None, to_sid
+        from_sid = st["acked_sid"]
         if to_sid == from_sid:
             return None
         df = self.table.changes(
@@ -125,8 +173,9 @@ def replicate(
 ) -> "dict[str, Any]":
     """Apply one polled interval of ``sub`` to ``dst`` and ack — incremental
     table-to-table replication (one call = one consumer run; loop it for a
-    daemon). Returns ``{"applied": bool, "from_sid", "to_sid", ...merge
-    summary}``.
+    daemon). Returns ``{"applied": bool, "from_sid", "to_sid", "summary":
+    <merge commit summary>}`` — a compact record safe to log/JSON-encode
+    every run (never the replica's full snapshot manifest).
 
     The changelog rows become a merge batch directly: ``_change_type``
     maps to the op column, the source ``_seq`` is reused as the version —
@@ -145,11 +194,16 @@ def replicate(
         F.col("_seq").alias("seq"),
         *[c for c in df.columns if c not in ("_change_type", "_seq", "_before")],
     )
-    summary = dst.merge(
+    commit = dst.merge(
         batch,
         app_id=f"replicate:{sub.consumer_id}",
         batch_id=to_sid,
         mode=mode,
     )
     sub.ack(to_sid)
-    return {"applied": True, "from_sid": from_sid, "to_sid": to_sid, **summary}
+    return {
+        "applied": True,
+        "from_sid": from_sid,
+        "to_sid": to_sid,
+        "summary": commit.get("summary"),
+    }

@@ -33,7 +33,6 @@ from __future__ import annotations
 import base64
 import json
 import os
-import uuid
 from typing import Any, Iterable
 
 from pyspark.sql import functions as F
@@ -63,8 +62,12 @@ def build_blooms(
     """Build missing sidecars for every dir the CURRENT snapshot references
     (older snapshots' dirs age out with retention; time-travel lookups fall
     back to unfiltered reads). Idempotent and incremental: existing
-    sidecars are never rebuilt. Returns {"built", "existing"}."""
-    from omicidx_etl_spark.lake.table import _norm_entry
+    sidecars are never rebuilt. Also PRUNES sidecars whose data dir no
+    longer exists on disk (each sidecar records its dir; compaction /
+    expire_snapshots delete dirs, and without this sweep the ~128 KiB
+    sidecars of every historical dir would accumulate forever). Returns
+    {"built", "existing", "pruned"}."""
+    from omicidx_etl_spark.lake.table import _norm_entry, atomic_write_json
 
     snap = table.snapshot()
     key = snap["table"]["key"]
@@ -96,20 +99,50 @@ def build_blooms(
                 p = r["p"]
                 bits[p >> 3] |= 1 << (p & 7)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "m": m,
-                        "j": n_hashes,
-                        "n": n,
-                        "bits": base64.b64encode(bytes(bits)).decode(),
-                    },
-                    f,
-                )
-            os.replace(tmp, path)
+            atomic_write_json(
+                path,
+                {
+                    "dir": rel,
+                    "m": m,
+                    "j": n_hashes,
+                    "n": n,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                },
+            )
             built += 1
-    return {"built": built, "existing": existing}
+    return {
+        "built": built,
+        "existing": existing,
+        "pruned": prune_blooms(table),
+    }
+
+
+def prune_blooms(table) -> int:
+    """Delete sidecars whose data dir is gone (expired/compacted-away).
+    Safe by construction: a sidecar names its dir; a dir that no longer
+    exists can never be scanned, so its sidecar is dead weight. Sidecars
+    missing the dir field (unreadable/foreign files) are also removed —
+    dirs_to_skip would never trust them anyway."""
+    bdir = os.path.join(table.root, BLOOM_SUBDIR)
+    if not os.path.isdir(bdir):
+        return 0
+    pruned = 0
+    for name in os.listdir(bdir):
+        if name.endswith(".tmp") or ".tmp-" in name:
+            continue
+        path = os.path.join(bdir, name)
+        try:
+            with open(path) as f:
+                rel = json.load(f).get("dir")
+        except (OSError, ValueError):
+            rel = None
+        if rel is None or not os.path.isdir(os.path.join(table.root, rel)):
+            try:
+                os.remove(path)
+                pruned += 1
+            except OSError:
+                pass
+    return pruned
 
 
 def _load_meta(root: str, rel_dir: str) -> "dict[str, Any] | None":

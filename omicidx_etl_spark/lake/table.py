@@ -101,6 +101,19 @@ class CommitConflict(RuntimeError):
     operation against the new current snapshot."""
 
 
+def atomic_write_json(path: str, obj: Any) -> None:
+    """Crash-safe JSON write: dump to a uniquely-named temp sibling, then
+    ``os.replace`` — a reader never sees a partial file, and a crash
+    mid-write leaves the previous version intact. The ONE implementation
+    of this idiom (snapshots/refs/tags here, consumer offsets in
+    cdc/subscribe, bloom sidecars in lake/bloom) so a durability change
+    (e.g. fsync-before-rename on a real deployment) lands once."""
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class ConstraintViolation(RuntimeError):
     """An incoming batch carries rows that fail a table CHECK constraint
     (``add_constraint``) under ``on_violation='fail'``. Nothing was
@@ -164,10 +177,7 @@ class LakeTable:
             return {k: int(v) for k, v in json.load(f).items()}
 
     def _write_tags(self, tags: dict[str, int]) -> None:
-        tmp = self._tags_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(tags, f)
-        os.replace(tmp, self._tags_path())
+        atomic_write_json(self._tags_path(), tags)
 
     def _read_refs(self) -> dict[str, int]:
         if not os.path.exists(self._refs_path()):
@@ -176,10 +186,7 @@ class LakeTable:
             return {k: int(v) for k, v in json.load(f).items()}
 
     def _write_refs(self, refs: dict[str, int]) -> None:
-        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(refs, f)
-        os.replace(tmp, self._refs_path())
+        atomic_write_json(self._refs_path(), refs)
 
     def _next_sid(self) -> int:
         """Next globally-unique snapshot id. With branches the snapshot graph
@@ -247,11 +254,7 @@ class LakeTable:
 
     def _write_snapshot(self, snap: dict[str, Any], swap_pointer: bool = True) -> None:
         sid = snap["snapshot_id"]
-        path = self._snap_path(sid)
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        os.replace(tmp, path)
+        atomic_write_json(self._snap_path(sid), snap)
         if not swap_pointer:  # branch commit: the snapshot exists but main
             return            # does not see it until publish()
         # atomic pointer swap = the commit point
@@ -1662,6 +1665,24 @@ class LakeTable:
         op: str,
         field_ids: dict[str, int] | None = None,
     ) -> None:
+        # Registered CHECK constraints must still resolve against the new
+        # schema — otherwise a drop/rename leaves a constraint that makes
+        # EVERY later write raise an unresolved-column error (constraints
+        # get the same protection the bucket key already has). Exact check:
+        # analyze each expression against an empty frame of the new schema.
+        cons = snap.get("constraints") or {}
+        if cons:
+            probe = self.spark.createDataFrame([], _phys(new_schema))
+            for cname, cexpr in sorted(cons.items()):
+                try:
+                    probe.filter(F.expr(cexpr)).schema
+                except Exception as ex:
+                    raise ValueError(
+                        f"{op} would break CHECK constraint {cname!r} "
+                        f"({cexpr}): {type(ex).__name__} — drop the "
+                        "constraint first (drop_constraint), then re-add "
+                        "it against the new schema"
+                    ) from ex
         new_schema_id = max(int(k) for k in snap["schemas"]) + 1
         new = dict(snap)
         new["parent_id"] = snap["snapshot_id"]

@@ -3308,7 +3308,11 @@ def window_anomalies(spark, sf_dir):
     + 3*sqrt((m*Q - S^2))/m  <=>  m*c - S > 0 AND (m*c - S)^2 > 9*(m*Q -
     S^2)`` with m = window count, S = sum of counts, Q = sum of squares —
     so the flag is bit-identical across engines (no float sqrt / division
-    whose ulp could flip a borderline window). Shape: map-side-combinable
+    whose ulp could flip a borderline window). Exactness bound: the test
+    squares m*c - S, so it needs |m*c - S| < 3*10^9 and m*Q < 2^63 —
+    holds through ~10^9 events per (type, day); past that, pre-divide
+    counts or widen to DECIMAL (Spark ANSI mode and DuckDB both raise
+    loudly on BIGINT overflow rather than wrapping). Shape: map-side-combinable
     count rollup to a (types x days)-sized table, then per-type windowed
     moments over that ALREADY-REDUCED table — at 10^10 events the second
     exchange moves only ~|types x days| rows, and the per-key sum/sum-sq

@@ -107,3 +107,34 @@ def test_dirs_to_skip_is_conservative(table):
         > 0
     }
     assert not (skip & holding)
+
+
+def test_bloom_sidecars_pruned_after_compaction(table):
+    """Compaction/expiry replace data dirs; the next build_blooms pass
+    must remove the dead dirs' sidecars (no unbounded _index/bloom
+    growth) while lookups stay correct."""
+    import os as _os
+
+    table.build_blooms()
+    bdir = _os.path.join(table.root, "_index", "bloom")
+    n_before = len(_os.listdir(bdir))
+    table.compact()
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    out = table.build_blooms()
+    assert out["pruned"] > 0
+    # only live dirs carry sidecars now
+    live = set()
+    from omicidx_etl_spark.lake.table import _norm_entry
+
+    for raw in table.snapshot()["buckets"].values():
+        e = _norm_entry(raw)
+        for fe in ([e["base"]] if e["base"] else []) + e["deltas"]:
+            live.add(fe["dir"])
+    import json as _json
+
+    for name in _os.listdir(bdir):
+        with open(_os.path.join(bdir, name)) as f:
+            assert _json.load(f)["dir"] in live
+    assert len(_os.listdir(bdir)) <= n_before
+    got = table.lookup(["doc_00000002"]).first()
+    assert got is not None

@@ -189,3 +189,27 @@ def test_streaming_violating_batch_quarantined(spark, tmp_path):
         assert "ConstraintViolation" in _json.load(f)["error"]
     # no committed row violates
     assert t.read().filter("n_tok < 0").count() == 0
+
+
+def test_schema_evolution_rejects_breaking_constraint(spark, table):
+    """drop/rename of a column referenced by a CHECK constraint must fail
+    AT EVOLUTION TIME (not wedge every later write with an unresolved-
+    column error); unrelated evolution still works."""
+    table.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    with pytest.raises(ValueError, match="n_tok_nonneg"):
+        table.drop_column("n_tok")
+    with pytest.raises(ValueError, match="n_tok_nonneg"):
+        table.rename_column("n_tok", "tok_n")
+    # unrelated columns evolve fine, and writes keep working
+    table.rename_column("source", "origin")
+    table.merge(
+        dedup_latest(
+            _changes_df(spark, [(100, "U", "ok", [1], 1, "web")]).withColumnRenamed(
+                "source", "origin"
+            )
+        )
+    )
+    assert table.lookup(["ok"]).count() == 1
+    # after dropping the constraint, the evolution goes through
+    table.drop_constraint("n_tok_nonneg")
+    table.drop_column("n_tok")

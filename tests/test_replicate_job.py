@@ -34,7 +34,7 @@ def test_replicate_job_end_to_end(spark, tmp_path, monkeypatch, capsys):
 
     argv = [
         "--src", src_root, "--dst", dst_root, "--checkpoint", ckpt,
-        "--create-dst", "--mode", "mor",
+        "--create-dst", "--mode", "mor", "--verify-count",
     ]
     rc, out = _run(monkeypatch, capsys, argv)
     assert rc == 0 and out[-1]["applied"]

@@ -224,3 +224,38 @@ def test_replication_converges_under_random_crashes(spark, tmp_path):
     # final clean drain
     replicate(sub, dst, mode="mor")
     assert _sorted_rows(dst) == _sorted_rows(src)
+
+
+def test_begin_after_retention_bootstraps_full_image(spark, tmp_path):
+    """Once expire_snapshots truncates history, start_from='begin' must
+    NOT silently replay from the oldest retained snapshot (keys last
+    modified at or before it would never appear) — the first poll
+    delivers a full-state image instead, and the replica is complete."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "rsrc"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    src.overwrite(datagen.gen_sequences(spark, 50, seed=21))
+    src.merge(
+        dedup_latest(_changes_df(spark, [(105, "U", "doc_00000001", [9], 1, "web")]))
+    )
+    src.merge(
+        dedup_latest(_changes_df(spark, [(106, "U", "doc_00000002", [8], 1, "web")]))
+    )
+    src.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    assert src.history()[0].get("parent_id") is not None  # truncated
+    dst = LakeTable.create(
+        spark, str(tmp_path / "rdst"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    sub = ChangelogSubscription(src, str(tmp_path / "rckpt"))
+    assert sub.bootstrap_pending()
+    out = replicate(sub, dst)
+    assert out["applied"] and out["from_sid"] is None  # image, not interval
+    assert _sorted_rows(dst) == _sorted_rows(src)  # ALL 50 keys, not just 2
+    assert not sub.bootstrap_pending()
+    # increments flow normally afterwards
+    src.merge(
+        dedup_latest(_changes_df(spark, [(107, "U", "late", [1], 1, "web")]))
+    )
+    out = replicate(sub, dst)
+    assert out["applied"] and out["from_sid"] is not None
+    assert _sorted_rows(dst) == _sorted_rows(src)
