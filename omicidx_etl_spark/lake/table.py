@@ -476,6 +476,54 @@ class LakeTable:
             "stats string",
         )
 
+    def meta_constraints(self) -> DataFrame:
+        """One row per registered CHECK constraint (name, expression) —
+        the inspection surface for ``add_constraint`` state, like Delta's
+        ``SHOW TBLPROPERTIES delta.constraints.*``."""
+        rows = [
+            (k, v)
+            for k, v in sorted(
+                (self.snapshot().get("constraints") or {}).items()
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, expression string"
+        )
+
+    def meta_blooms(self) -> DataFrame:
+        """One row per bloom sidecar on disk: indexed dir, bits (m),
+        hash count (j), rows indexed at build time, and whether the
+        current snapshot still references the dir (False only between a
+        compaction/expiry and the next ``build_blooms`` prune pass)."""
+        from omicidx_etl_spark.lake.bloom import BLOOM_SUBDIR
+
+        live: set[str] = set()
+        for raw in self.snapshot()["buckets"].values():
+            e = _norm_entry(raw)
+            for fe in ([e["base"]] if e["base"] else []) + e["deltas"]:
+                live.add(fe["dir"])
+        bdir = os.path.join(self.root, BLOOM_SUBDIR)
+        rows = []
+        if os.path.isdir(bdir):
+            for name in sorted(os.listdir(bdir)):
+                try:
+                    with open(os.path.join(bdir, name)) as f:
+                        meta = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                rows.append(
+                    (
+                        meta.get("dir"),
+                        int(meta["m"]),
+                        int(meta["j"]),
+                        int(meta["n"]),
+                        meta.get("dir") in live,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "dir string, m_bits long, n_hashes int, rows_indexed long, live boolean"
+        )
+
     def meta_refs(self) -> DataFrame:
         """One row per named ref plus main: name, head snapshot id, type
         (main | branch | tag — branches move with commits, tags never)."""

@@ -64,3 +64,22 @@ def test_meta_refs_lists_main_and_branches(spark, table):
     # files visible through the branch include the staged delta
     n_branch = table.meta_files(branch="audit").count()
     assert n_branch == table.meta_files().count() + 1
+
+
+def test_meta_constraints_and_blooms(spark, table):
+    assert table.meta_constraints().count() == 0
+    table.add_constraint("tok_pos", "n_tok > 0")
+    got = table.meta_constraints().collect()
+    assert [(r["name"], r["expression"]) for r in got] == [("tok_pos", "n_tok > 0")]
+
+    assert table.meta_blooms().count() == 0
+    table.build_blooms()
+    rows = table.meta_blooms().collect()
+    assert rows and all(r["live"] for r in rows)
+    assert all(r["m_bits"] >= 1024 and r["n_hashes"] == 4 for r in rows)
+    # a compaction leaves dead sidecars until the next prune pass
+    table.compact()
+    table.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    assert any(not r["live"] for r in table.meta_blooms().collect())
+    table.build_blooms()
+    assert all(r["live"] for r in table.meta_blooms().collect())
