@@ -1,0 +1,63 @@
+"""jobs/export_changes_job.py: CDC out-feed — versioned NDJSON.gz drops
+with done-markers, exactly-once per interval."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from omicidx_etl_spark import datagen
+from omicidx_etl_spark.cdc import dedup_latest
+from omicidx_etl_spark.lake import LakeTable
+
+
+def _run(monkeypatch, capsys, argv):
+    import jobs.export_changes_job as EJ
+
+    monkeypatch.setattr("sys.argv", ["export_changes_job.py", *argv])
+    rc = EJ.main()
+    out = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    return rc, out[-1]
+
+
+def test_export_changes_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    src_root = str(tmp_path / "src")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "offsets")
+    ch = datagen.gen_changes(spark, 1500, 150, seed=4)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    src = LakeTable.create(spark, src_root, schema, key="doc_id", n_buckets=4)
+    src.merge(dedup_latest(ch.filter("seq < 700").drop("event_ts")))
+
+    argv = ["--src", src_root, "--out", feed, "--checkpoint", ckpt]
+    rc, out = _run(monkeypatch, capsys, argv)
+    assert rc == 0 and out["applied"] and out["rows"] > 0
+    drop = out["dir"]
+    assert os.path.exists(os.path.join(drop, "_DONE"))
+    marker = json.load(open(os.path.join(drop, "_DONE")))
+    assert marker["rows"] == out["rows"]
+    # drop contents match the table state keyed rows (first interval =
+    # everything), with _change_type/_seq attached
+    feed_df = spark.read.json(drop)
+    assert set(feed_df.columns) >= {"doc_id", "_change_type", "_seq"}
+    upserts = feed_df.filter("_change_type = 'upsert'").count()
+    assert upserts == src.read().count()
+
+    # caught up: second run exports nothing and creates no new dir
+    dirs_before = set(os.listdir(feed))
+    rc, out = _run(monkeypatch, capsys, argv)
+    assert rc == 0 and out["applied"] is False
+    assert set(os.listdir(feed)) == dirs_before
+
+    # new interval: incremental drop with only the delta keys
+    src.merge(dedup_latest(ch.filter("seq >= 700").drop("event_ts")))
+    rc, out = _run(monkeypatch, capsys, argv)
+    assert rc == 0 and out["applied"]
+    inc = spark.read.json(out["dir"])
+    touched = ch.filter("seq >= 700").select("doc_id").distinct().count()
+    assert inc.count() == touched  # net per-key: one row per touched key
+    assert os.path.exists(os.path.join(out["dir"], "_DONE"))
