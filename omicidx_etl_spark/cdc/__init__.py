@@ -11,6 +11,7 @@ from omicidx_etl_spark.cdc.replay import (
     replay_batch,
     replay_log,
 )
+from omicidx_etl_spark.cdc.feed import apply_feed, list_drops
 from omicidx_etl_spark.cdc.subscribe import (
     ChangelogSubscription,
     replicate,
@@ -18,6 +19,8 @@ from omicidx_etl_spark.cdc.subscribe import (
 
 __all__ = [
     "ChangelogSubscription",
+    "apply_feed",
+    "list_drops",
     "replicate",
     "build_sig_index",
     "canonicalize",

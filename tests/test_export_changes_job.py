@@ -61,3 +61,74 @@ def test_export_changes_end_to_end(spark, tmp_path, monkeypatch, capsys):
     touched = ch.filter("seq >= 700").select("doc_id").distinct().count()
     assert inc.count() == touched  # net per-key: one row per touched key
     assert os.path.exists(os.path.join(out["dir"], "_DONE"))
+
+
+def test_feed_round_trip_apply(spark, tmp_path, monkeypatch, capsys):
+    """Cross-system replication over files: export src's changelog to a
+    feed dir, apply_feed into a fresh table on 'the other cluster' —
+    replica equals source; re-apply skips every drop; an unmarked
+    (in-flight) drop dir is ignored."""
+    from omicidx_etl_spark.cdc import apply_feed
+
+    src_root = str(tmp_path / "s2")
+    feed = str(tmp_path / "feed2")
+    ckpt = str(tmp_path / "off2")
+    ch = datagen.gen_changes(spark, 1200, 120, seed=6)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    src = LakeTable.create(spark, src_root, schema, key="doc_id", n_buckets=4)
+    src.merge(dedup_latest(ch.filter("seq < 600").drop("event_ts")))
+    argv = ["--src", src_root, "--out", feed, "--checkpoint", ckpt]
+    _run(monkeypatch, capsys, argv)
+    src.merge(dedup_latest(ch.filter("seq >= 600").drop("event_ts")))
+    _run(monkeypatch, capsys, argv)  # two drops now
+
+    dst = LakeTable.create(
+        spark, str(tmp_path / "d2"), schema, key="doc_id", n_buckets=8
+    )
+    # an in-flight (unmarked) dir must be ignored
+    os.makedirs(os.path.join(feed, "interval-999-1000"))
+    out = apply_feed(dst, feed)
+    assert [r["applied"] for r in out] == [True, True]
+    a = sorted((r["doc_id"], r["n_tok"]) for r in src.read().collect())
+    b = sorted((r["doc_id"], r["n_tok"]) for r in dst.read().collect())
+    assert a == b and a
+    # exactly-once: re-apply skips both drops, table unchanged
+    sid = dst.snapshot()["snapshot_id"]
+    out = apply_feed(dst, feed)
+    assert [r["applied"] for r in out] == [False, False]
+    assert dst.snapshot()["snapshot_id"] == sid
+
+
+def test_feed_deletes_only_drop_applies(spark, tmp_path, monkeypatch, capsys):
+    """A drop containing ONLY deletes (all-null payload) must apply —
+    the explicit read schema prevents null-column inference breaking the
+    merge casts."""
+    from omicidx_etl_spark.cdc import apply_feed
+
+    src_root = str(tmp_path / "s3")
+    feed = str(tmp_path / "feed3")
+    ckpt = str(tmp_path / "off3")
+    ch = datagen.gen_changes(spark, 600, 60, seed=8)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    src = LakeTable.create(spark, src_root, schema, key="doc_id", n_buckets=4)
+    src.merge(dedup_latest(ch.filter("op <> 'D'").drop("event_ts")))
+    argv = ["--src", src_root, "--out", feed, "--checkpoint", ckpt]
+    _run(monkeypatch, capsys, argv)
+    victim = src.read().select("doc_id").first()["doc_id"]
+    src.merge(
+        dedup_latest(
+            spark.createDataFrame(
+                [(10_000, "D", victim, None, None, None)],
+                "seq long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+            )
+        )
+    )
+    _run(monkeypatch, capsys, argv)  # deletes-only drop
+    dst = LakeTable.create(
+        spark, str(tmp_path / "d3"), schema, key="doc_id", n_buckets=4
+    )
+    apply_feed(dst, feed)
+    assert dst.read().filter(f"doc_id = '{victim}'").count() == 0
+    a = sorted(r["doc_id"] for r in src.read().collect())
+    b = sorted(r["doc_id"] for r in dst.read().collect())
+    assert a == b
