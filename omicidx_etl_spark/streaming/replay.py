@@ -213,3 +213,78 @@ def stream_replay(
     )
     q.awaitTermination(timeout=timeout_s)
     return committed
+
+
+def replay_quarantined(
+    table: LakeTable,
+    app_id: str,
+    batch_ids: "list[int] | None" = None,
+    transform: "Callable[[DataFrame], DataFrame] | None" = None,
+    **replay_kw: Any,
+) -> "list[dict[str, Any]]":
+    """Replay parked quarantine batches after the operator fixes the data
+    — the second half of the T6 contract (quarantine keeps the stream
+    alive; THIS puts the repaired data back, exactly once).
+
+    For each ``<table>/_quarantine/batch-*/`` with landed data (newest
+    ops first would be wrong — replay in batch order) and no
+    ``_RESOLVED`` marker: read the parked rows, apply ``transform`` (the
+    fix — e.g. clamp a value, drop a poison key; identity when the root
+    cause was external), and re-merge under the DERIVED
+    ``(<app_id>:quarantine, batch_id)`` watermark. The original app_id
+    cannot be reused: the transaction watermark is a HIGH-water mark, so
+    once any later stream batch committed, a replay under the original id
+    would silently skip (a quarantined batch never half-commits — merge
+    is atomic — so there is no double-apply risk; per-row seq versioning
+    additionally makes the late replay order-independent). Batches replay
+    in ascending id order, so the derived watermark keeps reruns of this
+    function exactly-once even without the marker. Success writes
+    ``_RESOLVED``
+    into the quarantine dir (the parked data stays for audit; sweep the
+    dir on your retention cadence). A batch that fails AGAIN is left
+    unresolved and reported with the error.
+
+    Returns one record per visited batch:
+    ``{"batch_id", "replayed", "skipped"|"error"}``."""
+    qroot = os.path.join(table.root, "_quarantine")
+    results: list[dict[str, Any]] = []
+    if not os.path.isdir(qroot):
+        return results
+    for name in sorted(os.listdir(qroot)):
+        if not name.startswith("batch-"):
+            continue
+        bid = int(name.split("-")[1])
+        if batch_ids is not None and bid not in batch_ids:
+            continue
+        qdir = os.path.join(qroot, name)
+        if os.path.exists(os.path.join(qdir, "_RESOLVED")):
+            continue
+        data = os.path.join(qdir, "data")
+        if not os.path.isdir(data):
+            results.append(
+                {"batch_id": bid, "replayed": False,
+                 "error": "no data landed (unreadable source batch)"}
+            )
+            continue
+        df = table.spark.read.parquet(data)
+        if transform is not None:
+            df = transform(df)
+        try:
+            snap = replay_batch(table, df, batch_id=bid,
+                                app_id=f"{app_id}:quarantine", **replay_kw)
+        except Exception as e:  # still broken: leave unresolved
+            results.append(
+                {"batch_id": bid, "replayed": False,
+                 "error": f"{type(e).__name__}: {e}"}
+            )
+            continue
+        with open(os.path.join(qdir, "_RESOLVED"), "w") as f:
+            f.write(json.dumps({"app_id": app_id, "batch_id": bid}))
+        results.append(
+            {
+                "batch_id": bid,
+                "replayed": True,
+                "skipped": bool((snap.get("summary") or {}).get("skipped")),
+            }
+        )
+    return results

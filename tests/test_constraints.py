@@ -213,3 +213,65 @@ def test_schema_evolution_rejects_breaking_constraint(spark, table):
     # after dropping the constraint, the evolution goes through
     table.drop_constraint("n_tok_nonneg")
     table.drop_column("n_tok")
+
+
+def test_replay_quarantined_after_fix(spark, tmp_path):
+    """T6 second half: a constraint-quarantined batch replays exactly
+    once after the operator's transform fixes the rows; rerun is a no-op;
+    the quarantine dir keeps the audit data with a _RESOLVED marker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from omicidx_etl_spark import datagen
+    from omicidx_etl_spark.streaming import stream_replay
+    from omicidx_etl_spark.streaming.replay import replay_quarantined
+
+    log = str(tmp_path / "log")
+    ch = datagen.gen_changes(spark, 3000, 200, seed=17)
+    poisoned = ch.withColumn(
+        "n_tok",
+        F.when(
+            (F.col("seq") >= 1000) & (F.col("seq") < 2000) & (F.col("op") != "D"),
+            F.lit(-1),
+        ).otherwise(F.col("n_tok")),
+    )
+    datagen.write_change_log(poisoned, log, files=3)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key="doc_id", n_buckets=4
+    )
+    t.add_constraint("n_tok_nonneg", "n_tok >= 0")
+    committed = stream_replay(
+        spark, t, log, str(tmp_path / "ckpt"), app_id="rq",
+        max_files_per_trigger=1,
+    )
+    n_quar = sum(1 for c in committed if c.get("quarantined"))
+    assert n_quar >= 1
+
+    # fix: clamp negatives to 0, then replay the parked batches
+    fix = lambda df: df.withColumn(  # noqa: E731
+        "n_tok", F.greatest(F.col("n_tok"), F.lit(0))
+    )
+    out = replay_quarantined(t, app_id="rq", transform=fix)
+    assert len(out) == n_quar and all(r["replayed"] for r in out)
+    assert t.read().filter("n_tok < 0").count() == 0
+    # the fixed rows are actually IN the table now (latest-per-key of the
+    # full log with the clamp)
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""SELECT count(*) FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+          FROM read_parquet('{log}/*.parquet', union_by_name=true))
+          WHERE rn = 1 AND op <> 'D'"""
+    ).fetchone()[0]
+    assert t.read().count() == exp
+    # idempotent: nothing left unresolved, rerun visits nothing
+    assert replay_quarantined(t, app_id="rq", transform=fix) == []
+    qroot = os.path.join(t.root, "_quarantine")
+    assert all(
+        os.path.exists(os.path.join(qroot, d, "_RESOLVED"))
+        for d in os.listdir(qroot)
+        if d.startswith("batch-")
+    )
