@@ -3971,3 +3971,387 @@ def histogram_prices(spark, sf_dir):
         )
         .orderBy(F.asc("bin"))
     )
+
+
+@register(
+    "order_concurrency_peak",
+    """
+    WITH iv AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS d0,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  + (o_orderkey % 30) + 1 AS BIGINT) AS d1
+      FROM orders),
+    delta AS (
+      SELECT o_orderpriority, d0 AS epoch_day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT o_orderpriority, d1, -1 FROM iv),
+    net AS (
+      SELECT o_orderpriority, epoch_day,
+             CAST(SUM(delta) AS BIGINT) AS net
+      FROM delta GROUP BY 1, 2),
+    conc AS (
+      SELECT o_orderpriority, epoch_day,
+             CAST(SUM(net) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY epoch_day) AS BIGINT) AS conc
+      FROM net),
+    pk AS (
+      SELECT o_orderpriority, MAX(conc) AS peak FROM conc GROUP BY 1)
+    SELECT c.o_orderpriority,
+           CAST(pk.peak AS BIGINT) AS peak,
+           CAST(MIN(c.epoch_day) AS BIGINT) AS peak_epoch_day
+    FROM conc c JOIN pk ON c.o_orderpriority = pk.o_orderpriority
+                       AND c.conc = pk.peak
+    GROUP BY 1, 2 ORDER BY c.o_orderpriority ASC
+    """,
+)
+def order_concurrency_peak(spark, sf_dir):
+    """Interval-concurrency sweep (max simultaneously-open orders per
+    priority class): each order holds an open interval of
+    ``(o_orderkey % 30) + 1`` days; a +1/-1 boundary event stream,
+    pre-reduced to per-(class, day) NET deltas by a combinable sum, is
+    prefix-summed per class to the concurrency curve; the peak and its
+    earliest day come from a second combinable rollup (max, then min-day
+    at the peak via an equi join on the tiny per-class peak table —
+    deterministic without cross-engine arg-min tie semantics). Scale
+    posture: the windows partition by priority class over the REDUCED
+    (class x day) table — the raw 10^10-order table is touched once by
+    the map-side-combinable delta sum; nothing global-sorts. This is the
+    resource-concurrency shape (live connections, open sessions, peak
+    loaders) of the reference's per-day load ledger
+    (`omicidx_etl/lineage.py:60-75`)."""
+    o = _t(spark, sf_dir, "orders")
+    d0 = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    iv = o.select(
+        "o_orderpriority",
+        d0.alias("d0"),
+        (d0 + (F.col("o_orderkey") % 30) + 1).cast("long").alias("d1"),
+    )
+    delta = iv.select(
+        "o_orderpriority", F.col("d0").alias("epoch_day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "o_orderpriority", F.col("d1").alias("epoch_day"), F.lit(-1).alias("delta")
+        )
+    )
+    net = (
+        delta.groupBy("o_orderpriority", "epoch_day")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("epoch_day")
+    conc = net.select(
+        "o_orderpriority", "epoch_day", F.sum("net").over(w).cast("long").alias("conc")
+    )
+    pk = conc.groupBy("o_orderpriority").agg(F.max("conc").alias("peak"))
+    return (
+        conc.join(F.broadcast(pk), "o_orderpriority")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("o_orderpriority", "peak")
+        .agg(F.min("epoch_day").alias("peak_epoch_day"))
+        .select("o_orderpriority", "peak", "peak_epoch_day")
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+@register(
+    "forward_fill_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, MIN(epoch_day) AS mn, MAX(epoch_day) AS mx
+      FROM daily GROUP BY 1),
+    scaffold AS (
+      SELECT event_type, CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+               AS epoch_day
+      FROM bounds)
+    SELECT s.event_type, s.epoch_day,
+           d.cents AS observed_cents,
+           CAST(LAST_VALUE(d.cents IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.epoch_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS filled_cents,
+           CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM scaffold s
+    LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.epoch_day = d.epoch_day
+    ORDER BY s.event_type ASC, s.epoch_day ASC
+    """,
+)
+def forward_fill_daily(spark, sf_dir):
+    """Gap-fill + forward-fill (as-of interpolation) of a sparse daily
+    metric: a dense per-type day scaffold is generated from per-type
+    [min, max] bounds (``sequence`` + explode — the scaffold is
+    days-sized, never events-sized), the observed daily fixed-point sums
+    are LEFT-joined on, and holes take the most recent observed value
+    via ``last(..., ignorenulls=True)`` over a per-type running frame.
+    Per-row cents conversion BEFORE the sum keeps both engines
+    bit-identical (float-sum order divergence never arises). Scale
+    posture: one combinable shuffle reduces 10^10 events to (type x day);
+    scaffold join and fill-window both stay on that reduced table,
+    partitioned by type. The streaming analogue is state-store
+    carry-forward; this is the batch backfill. Reference per-day ledger:
+    `omicidx_etl/lineage.py:60-75`."""
+    ev = _t(spark, sf_dir, "events")
+    eday = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.select("event_type", eday.alias("epoch_day"), cents.alias("c"))
+        .groupBy("event_type", "epoch_day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    scaffold = (
+        daily.groupBy("event_type")
+        .agg(F.min("epoch_day").alias("mn"), F.max("epoch_day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("epoch_day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scaffold.join(daily, ["event_type", "epoch_day"], "left")
+        .select(
+            "event_type",
+            "epoch_day",
+            F.col("cents").alias("observed_cents"),
+            F.last("cents", ignorenulls=True).over(w).cast("long").alias(
+                "filled_cents"
+            ),
+            F.when(F.col("cents").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_gap"),
+        )
+        .orderBy(F.asc("event_type"), F.asc("epoch_day"))
+    )
+
+
+@register(
+    "mode_per_group",
+    """
+    WITH c AS (
+      SELECT CAST(user_id % 100 AS BIGINT) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT bucket, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM c)
+    SELECT bucket, event_type AS top_type, n
+    FROM r WHERE rn = 1 ORDER BY bucket ASC
+    """,
+)
+def mode_per_group(spark, sf_dir):
+    """Statistical MODE per group (most frequent event_type per user
+    bucket) with a deterministic total-order tie-break (highest count,
+    then lexicographically smallest type — cross-engine arg-max tie
+    semantics are never relied on). Shape: map-side-combinable count to
+    the tiny (bucket x type) table, then a per-bucket ROW_NUMBER top-1.
+    Scale posture: the window runs over |buckets| x |types| rows
+    regardless of event count; the only corpus-sized exchange is the
+    combinable count. The degenerate-but-common profiling primitive
+    behind "dominant category per key" dashboards; reference per-entity
+    census: `omicidx_etl/build_db.py:70-87`."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(
+            (F.col("user_id") % 100).cast("long").alias("bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("event_type").alias("top_type"), "n")
+        .orderBy(F.asc("bucket"))
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH fst AS (
+      SELECT event_type, user_id,
+             MIN(CAST(datediff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS BIGINT)) AS first_day
+      FROM events GROUP BY 1, 2),
+    newd AS (
+      SELECT event_type, first_day AS epoch_day,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM fst GROUP BY 1, 2)
+    SELECT event_type, epoch_day, new_users,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY epoch_day) AS BIGINT)
+             AS cum_users
+    FROM newd ORDER BY event_type ASC, epoch_day ASC
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """Cumulative DISTINCT count over time (running unique-user curve
+    per event type) WITHOUT a running-distinct state machine: distinct
+    is reframed as first-occurrence — per (type, user) MIN day (a
+    combinable agg over the raw events), daily new-user counts, then a
+    per-type prefix sum over the days-sized rollup. Scale posture: the
+    naive formulation (COUNT(DISTINCT) OVER a growing frame) rescans
+    every prefix; this shape touches the 10^10-event table with ONE
+    combinable shuffle and all windows run on (type x day). Same
+    first-occurrence trick as `retention_cohorts`; reference accession
+    first-seen logic: `omicidx_etl/sql/020_entities.sql:1-25`."""
+    ev = _t(spark, sf_dir, "events")
+    eday = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    fst = (
+        ev.select("event_type", "user_id", eday.alias("d"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("epoch_day"))
+    )
+    newd = fst.groupBy("event_type", "epoch_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("epoch_day")
+    return (
+        newd.select(
+            "event_type",
+            "epoch_day",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy(F.asc("event_type"), F.asc("epoch_day"))
+    )
+
+
+@register(
+    "name_edit_distance_pairs",
+    """
+    WITH v AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             split_part(p_name, ' ', 2) AS noun
+      FROM part GROUP BY 1, 3)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n_parts * b.n_parts AS BIGINT) AS n_pairs
+    FROM v a JOIN v b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a ASC, name_b ASC
+    """,
+)
+def name_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy string-similarity self-join (edit distance <= 3) done at
+    VOCABULARY scale, not row scale: part names dedupe to their distinct
+    values with multiplicities first (combinable count), pairs form only
+    within a blocking key (the noun — second token), and row-level pair
+    counts come back as n_a * n_b without ever joining the base table to
+    itself. Scale posture: 10^10 parts with a 10^4-name vocabulary cost
+    one combinable shuffle plus a vocabulary-sized blocked join —
+    the quadratic term is bounded by the largest block of DISTINCT
+    values, the same guard as `dedup_ngram_jaccard`'s max_df cap.
+    Levenshtein runs JVM-side (`F.levenshtein`, no UDF). Reference
+    ID-scheme fuzzing: `omicidx_etl/normalize.py:32-58`."""
+    p = _t(spark, sf_dir, "part")
+    v = (
+        p.groupBy(
+            "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("noun")
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+            (F.col("a.n_parts") * F.col("b.n_parts"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .orderBy(F.asc("name_a"), F.asc("name_b"))
+    )
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS nxt
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_holds,
+           CAST(SUM(nxt - us) AS BIGINT) AS total_dur_us,
+           CAST(SUM((nxt - us) * cents) AS BIGINT) AS weighted_sum,
+           CAST(CAST(SUM((nxt - us) * cents) AS BIGINT)
+                // CAST(SUM(nxt - us) AS BIGINT) AS BIGINT) AS twa_cents
+    FROM t WHERE nxt IS NOT NULL
+    GROUP BY 1 ORDER BY event_type ASC
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """TIME-weighted average of a metric per event type (each value
+    "holds" until the next event of that type): per-type LEAD over a
+    deterministic (timestamp, event_id) total order gives microsecond
+    hold durations; the duration-weighted sum and the div-based average
+    are all-BIGINT (value pre-fixed to cents per row) so both engines
+    hash identically. The financial/telemetry TWAP shape. Scale posture:
+    ONE per-type window (sorts within type partitions only — no global
+    sort) feeding a map-side-combinable rollup; at 10^10 events the
+    skew guard is the event_type partition count, same trade as
+    `sessionize`'s per-user windows. Reference latency metrics:
+    `omicidx_etl/lineage.py:76-92`."""
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py)
+    # so the NTZ->LTZ cast is the same wall-clock->instant map DuckDB's
+    # epoch_us applies to a naive timestamp — bit-identical microseconds.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("us"), F.asc("event_id"))
+    t = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            us.alias("us"),
+        )
+        .withColumn("nxt", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("dur", F.col("nxt") - F.col("us"))
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_holds"),
+            F.sum("dur").cast("long").alias("total_dur_us"),
+            F.sum(F.col("dur") * F.col("cents")).cast("long").alias("weighted_sum"),
+        )
+        .select(
+            "event_type",
+            "n_holds",
+            "total_dur_us",
+            "weighted_sum",
+            F.expr("weighted_sum div total_dur_us").alias("twa_cents"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
