@@ -65,6 +65,11 @@ def main() -> None:
         "sidecars for point-lookup file skipping (incremental)",
     )
     p.add_argument("--orphan-grace-s", type=float, default=3600.0)
+    p.add_argument(
+        "--fsck", choices=["meta", "deep"], default=None,
+        help="run the integrity checker after maintenance; 'deep' adds "
+        "executor-side footer / bounds / uniqueness proofs; a failed check "
+        "makes the job exit nonzero")
     args = p.parse_args()
     if args.sort_by and args.zorder_by:
         p.error("--sort-by and --zorder-by are mutually exclusive")
@@ -108,6 +113,7 @@ def main() -> None:
         keep_last=args.keep_last, orphan_grace_s=args.orphan_grace_s
     )
     blooms = t.build_blooms() if args.build_blooms else None
+    fsck = t.fsck(deep=args.fsck == "deep") if args.fsck else None
     out = {
         "compacted_buckets": dirty_before,
         "compact_group": group,
@@ -116,11 +122,18 @@ def main() -> None:
         "purged_before_seq": purged,
         "kept_snapshots": args.keep_last,
         "blooms": blooms,
+        "fsck": None if fsck is None else {
+            "ok": fsck["ok"], "errors": fsck["errors"],
+            "warnings": fsck["warnings"],
+            "codes": sorted({f["code"] for f in fsck["findings"]}),
+        },
         "rows_after": t.read().count(),
         "sec": round(time.time() - t0, 3),
     }
     print(json.dumps(out))
     sys.stdout.flush()
+    if fsck is not None and not fsck["ok"]:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -1767,6 +1767,34 @@ class LakeTable:
             self._write_snapshot(new)
 
     # -------------------------------------------------------------- retention
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Integrity audit of the current snapshot (see lake/fsck.py):
+        metadata tier always (manifest-bounded, no jobs); ``deep=True``
+        adds executor-side footer checks, bounds-containment, seq-ceiling
+        and key-uniqueness proofs."""
+        from omicidx_etl_spark.lake.fsck import check_table
+
+        return check_table(self, deep=deep)
+
+    def clone(
+        self,
+        dest_root: str,
+        at: int | None = None,
+        as_of_ts: float | None = None,
+        io_parallelism: int | None = None,
+    ) -> "LakeTable":
+        """Deep-clone one snapshot of this table into an independent new
+        table at ``dest_root`` (see lake/clone.py for semantics: preserves
+        key/buckets/all schema versions/field ids/bounds stats/txn
+        watermarks/seq_ceiling/constraints; resets history; copies bytes in
+        a width-proportional Spark job)."""
+        from omicidx_etl_spark.lake.clone import clone_table
+
+        return clone_table(
+            self, dest_root, at=at, as_of_ts=as_of_ts,
+            io_parallelism=io_parallelism,
+        )
+
     def expire_snapshots(
         self, keep_last: int = 2, orphan_grace_s: float = 3600.0
     ) -> list[str]:

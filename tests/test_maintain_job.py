@@ -49,6 +49,7 @@ def test_maintain_job_end_to_end(spark, tmp_path, monkeypatch, capsys):
             "--keep-last", "2",
             "--orphan-grace-s", "0",
             "--build-blooms",
+            "--fsck", "deep",
         ],
     )
     MJ.main()
@@ -56,6 +57,7 @@ def test_maintain_job_end_to_end(spark, tmp_path, monkeypatch, capsys):
     assert out["compacted_buckets"] > 0
     assert out["rows_after"] == len(before)
     assert out["blooms"]["built"] > 0
+    assert out["fsck"]["ok"] and out["fsck"]["errors"] == 0
 
     t2 = LakeTable.load(spark, root)
     after = sorted(
