@@ -4355,3 +4355,245 @@ def time_weighted_avg(spark, sf_dir):
         )
         .orderBy(F.asc("event_type"))
     )
+
+
+@register(
+    "weighted_sample_orders",
+    """
+    WITH u AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ((o_orderkey % 1000003 + 1) * 48271 % 2147483647)
+               * 48271 % 2147483647 + 1 AS uh
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN uh * 60000000 < cents * 2147483647
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN uh * 60000000 < cents * 2147483647
+                         THEN cents ELSE 0 END) AS BIGINT) AS kept_cents
+    FROM u GROUP BY 1 ORDER BY o_orderpriority ASC
+    """,
+)
+def weighted_sample_orders(spark, sf_dir):
+    """Deterministic WEIGHTED Bernoulli sampling (keep probability
+    proportional to order value): the per-row uniform is the same
+    double-round Lehmer hash as `kmv_distinct_users` (all-BIGINT, so both
+    engines draw the identical sample) and the keep test
+    ``u * W < cents * M`` is exact integer cross-multiplication — no
+    float probabilities anywhere. Like `stratified_sample`, membership is
+    resampling-stable (a row's decision never changes as the corpus
+    grows) and the filter is scan-local: the only exchange is the final
+    combinable per-class rollup. This is importance sampling for
+    training-mixture construction, weighted by a value column instead of
+    per-stratum rates. Reference slice subsetting:
+    `omicidx_etl/sra/catalog.py`."""
+    o = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    uh = (
+        (F.col("o_orderkey") % 1000003 + 1) * 48271 % 2147483647
+    ) * 48271 % 2147483647 + 1
+    keep = (uh * F.lit(60000000)) < (cents * F.lit(2147483647))
+    return (
+        o.select(
+            "o_orderpriority",
+            cents.alias("cents"),
+            keep.cast("long").alias("k"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("k").alias("n_kept"),
+            F.sum(F.col("k") * F.col("cents")).alias("kept_cents"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )
+
+
+@register(
+    "grouping_sets_census",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (source), ())
+    """,
+)
+def grouping_sets_census(spark, sf_dir):
+    """IRREGULAR grouping sets — the census shape CUBE/ROLLUP cannot
+    express: detail (lang x source), the source marginal, and the grand
+    total, deliberately skipping the lang marginal (a dashboard that
+    pivots by source never reads it; computing it anyway is wasted
+    exchange width at 10^10 docs). Spark expands the three sets map-side
+    under ONE exchange (Expand operator), same plan family as
+    `cube_lang_source`; `grouping_id` disambiguates the NULL-as-total
+    rows from genuine NULL dimension values. Reference multi-level
+    census: `omicidx_etl/build_db.py:70-87`."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupingSets([["lang", "source"], ["source"], []], "lang", "source").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "mad_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, epoch_day, n,
+             CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+                  OVER (PARTITION BY event_type) AS BIGINT) AS med
+      FROM (
+        SELECT event_type, epoch_day, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n ASC, epoch_day ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM daily)),
+    mad AS (
+      SELECT event_type, epoch_day, n, med, dev,
+             CAST(MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY event_type) AS BIGINT) AS mad
+      FROM (
+        SELECT event_type, epoch_day, n, med, ABS(n - med) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(n - med) ASC, epoch_day ASC)
+                 AS rn2,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM med))
+    SELECT event_type, epoch_day, n, med, mad,
+           CAST(dev AS BIGINT) AS dev,
+           CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS is_anomaly
+    FROM mad ORDER BY event_type ASC, epoch_day ASC
+    """,
+)
+def mad_anomalies(spark, sf_dir):
+    """Robust (median/MAD) anomaly detection on the daily event curve —
+    the outlier-resistant complement to `window_anomalies`' mean/3-sigma
+    test (one wild day inflates a stddev and hides itself; it barely
+    moves a median). Median is the LOW median (element at rank
+    (cnt+1) div 2 under a deterministic (value, day) total order) so
+    everything stays BIGINT — no interpolation, no cross-engine float
+    drift; MAD is the same construction over |n - med|. Shape: one
+    combinable rollup reduces 10^10 events to (type x day); the two
+    rank-and-broadcast-back windows run per type over that days-sized
+    table (window-aggregate of a CASE, no self-join). Flag: dev > 3*MAD.
+    Reference per-day ledger: `omicidx_etl/lineage.py:60-75`."""
+    ev = _t(spark, sf_dir, "events")
+    eday = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    daily = (
+        ev.select("event_type", eday.alias("epoch_day"))
+        .groupBy("event_type", "epoch_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    w1 = wt.orderBy(F.asc("n"), F.asc("epoch_day"))
+    med = (
+        daily.select(
+            "event_type",
+            "epoch_day",
+            "n",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("cnt"),
+        )
+        .withColumn(
+            "med",
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n"))
+            ).over(wt).cast("long"),
+        )
+        .withColumn("dev", F.abs(F.col("n") - F.col("med")))
+    )
+    w2 = wt.orderBy(F.asc("dev"), F.asc("epoch_day"))
+    out = (
+        med.select(
+            "event_type",
+            "epoch_day",
+            "n",
+            "med",
+            "dev",
+            F.row_number().over(w2).alias("rn2"),
+            F.col("cnt"),
+        )
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(F.col("rn2") == F.expr("(cnt + 1) div 2"), F.col("dev"))
+            ).over(wt).cast("long"),
+        )
+    )
+    return (
+        out.select(
+            "event_type",
+            "epoch_day",
+            "n",
+            "med",
+            "mad",
+            F.col("dev").cast("long").alias("dev"),
+            F.when(F.col("dev") > 3 * F.col("mad"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+        .orderBy(F.asc("event_type"), F.asc("epoch_day"))
+    )
+
+
+@register(
+    "pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2),
+    sweep AS (
+      SELECT price_cents, p_size, n_parts,
+             MAX(p_size) OVER (
+               ORDER BY price_cents ASC, p_size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      FROM pts)
+    SELECT price_cents, p_size, n_parts
+    FROM sweep
+    WHERE best_prev IS NULL OR p_size > best_prev
+    ORDER BY price_cents ASC
+    """,
+)
+def pareto_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier: cheapest price vs largest size) via
+    the classic sort-sweep instead of the O(n^2) dominance anti-join: on
+    DISTINCT (price, size) points ordered (price ASC, size DESC), a point
+    survives iff its size strictly exceeds every size seen at
+    lower-or-equal price — one running MAX window. Scale posture: the
+    combinable distinct-with-multiplicity rollup reduces 10^10 parts to
+    the bounded point set; only that reduced set passes through the
+    (single-partition but points-sized, never parts-sized) sweep — at
+    most |distinct prices| rows survive. A production variant for
+    unbounded point sets range-partitions the sweep by price and merges
+    per-partition frontiers. Reference best-per-group selection:
+    `omicidx_etl/sql/020_entities.sql:26-40`."""
+    p = _t(spark, sf_dir, "part")
+    pts = (
+        p.groupBy(
+            _cents(F.col("p_retailprice")).alias("price_cents"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    w = (
+        Window.orderBy(F.asc("price_cents"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("best_prev", F.max("p_size").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("p_size") > F.col("best_prev")))
+        .select("price_cents", "p_size", "n_parts")
+        .orderBy(F.asc("price_cents"))
+    )
