@@ -4597,3 +4597,164 @@ def pareto_frontier(spark, sf_dir):
         .select("price_cents", "p_size", "n_parts")
         .orderBy(F.asc("price_cents"))
     )
+
+
+@register(
+    "gini_concentration",
+    """
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars ASC, doc_id ASC)
+                  AS BIGINT) AS i
+      FROM documents),
+    a AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM r GROUP BY 1)
+    SELECT source, n, sx,
+           CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST((2 * six - (n + 1) * sx) * 10000 // (n * sx) AS BIGINT)
+             AS gini_e4
+    FROM a ORDER BY source ASC
+    """,
+)
+def gini_concentration(spark, sf_dir):
+    """Gini coefficient of the per-source document-length distribution —
+    the corpus-concentration dashboard number (is one source dominated by
+    a few giant documents?). Uses the exact rank formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over a deterministic
+    (value, doc_id) total order, kept as an integer numerator/denominator
+    pair plus an e4 fixed-point quotient — no float accumulation, so both
+    engines agree bit-for-bit. Shape: one per-source rank window over the
+    scan, then a map-side-combinable rollup; at 10^10 docs the window
+    partitions by source and nothing global-sorts (the rank products sum
+    within partitions). Reference census: `omicidx_etl/build_db.py:70-87`."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    a = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return (
+        a.select(
+            "source",
+            "n",
+            "sx",
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            .cast("long")
+            .alias("gini_num"),
+            (F.col("n") * F.col("sx")).cast("long").alias("gini_den"),
+            F.expr("(2 * six - (n + 1) * sx) * 10000 div (n * sx)").alias(
+                "gini_e4"
+            ),
+        )
+        .orderBy(F.asc("source"))
+    )
+
+
+@register(
+    "bitmap_daily_activity",
+    """
+    WITH b AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) <<
+                    CAST(datediff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS INTEGER)) AS days_mask
+      FROM events GROUP BY 1)
+    SELECT CAST(bit_count(days_mask) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM b GROUP BY 1 ORDER BY n_active_days ASC
+    """,
+)
+def bitmap_daily_activity(spark, sf_dir):
+    """Roaring-bitmap-style activity index: each user's month of activity
+    compressed to ONE BIGINT day-bitmask via the bit_or aggregate
+    (mergeable — partial masks OR associatively, so map-side combine and
+    multi-batch maintenance are free, the same algebra as the KMV
+    sketch), then the engagement histogram via bit_count. Two combinable
+    exchanges total; per-user state is 8 bytes regardless of event count
+    — the 10^10-event shape for retention/engagement rollups. Events
+    span Jan 2024 (offsets 0..30; a production variant keys the mask by
+    (user, month)). Reference per-day ledger: `omicidx_etl/
+    lineage.py:60-75`."""
+    ev = _t(spark, sf_dir, "events")
+    off = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("int")
+    b = (
+        ev.select("user_id", off.alias("off"))
+        # shiftleft's Python wrapper takes only a literal shift; the SQL
+        # function form accepts a column
+        .select("user_id", F.expr("shiftleft(cast(1 as bigint), off)").alias("bit"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").alias("days_mask"))
+    )
+    return (
+        b.groupBy(F.bit_count("days_mask").cast("long").alias("n_active_days"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("min_user"),
+        )
+        .orderBy(F.asc("n_active_days"))
+    )
+
+
+@register(
+    "first_touch_attribution",
+    """
+    WITH fst AS (
+      SELECT user_id, event_type AS first_type
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events) t
+      WHERE rn = 1),
+    conv AS (
+      SELECT e.user_id, f.first_type
+      FROM events e JOIN fst f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase')
+    SELECT first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+    FROM conv GROUP BY 1 ORDER BY first_type ASC
+    """,
+)
+def first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: every purchase is credited to the
+    user's FIRST event type (the acquisition channel in marketing terms)
+    under a deterministic (ts, event_id) total order. Shape: the rn=1
+    window reduces to one row per user; purchases join that per-user dim
+    on user_id (both sides key-partitioned — co-located after the window
+    exchange) and roll up map-side. The distinct-buyers count rides the
+    same exchange. At 10^10 events the per-user table is users-sized and
+    the join never widens beyond the purchase slice. Reference
+    first-seen logic: `omicidx_etl/sql/020_entities.sql:1-25`."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    fst = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .join(fst, "user_id")
+    )
+    return (
+        conv.groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+        .orderBy(F.asc("first_type"))
+    )

@@ -165,3 +165,50 @@ def test_seq_ceiling_low_detected(table):
     table._snap = None
     r = table.fsck(deep=True)
     assert not r["ok"] and "seq_ceiling_low" in _codes(r)
+
+
+def test_fsck_green_across_maintenance_lifecycle(spark, tmp_path):
+    """The checker must never false-positive: after every legitimate
+    operation the engine offers (merge cow/mor, delete, schema evolution,
+    compact, rebucket, purge, expire, rollback, clone), deep fsck stays
+    clean. A checker that cries wolf on healthy tables trains operators
+    to ignore it."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "life"), SCHEMA, key="doc_id", n_buckets=4
+    )
+    t.overwrite(datagen.gen_sequences(spark, 40, seed=8))
+
+    def ok(step):
+        r = t.fsck(deep=True)
+        assert r["ok"], (step, r["findings"])
+
+    ok("overwrite")
+    t.merge(
+        dedup_latest(_changes_df(spark, [(10, "U", "doc_00000002", [7], 1, "web")])),
+        mode="mor",
+    )
+    ok("merge mor")
+    t.merge(
+        dedup_latest(_changes_df(spark, [(11, "I", "doc_x", [8], 1, "web")])),
+        mode="cow",
+    )
+    ok("merge cow")
+    t.delete_where([("doc_id", "=", "doc_00000005")])
+    ok("delete_where")
+    import pyspark.sql.types as T2
+
+    t.add_column("extra", T2.LongType())
+    ok("add_column")
+    t.rename_column("extra", "extra2")
+    ok("rename_column")
+    t.compact()
+    ok("compact")
+    t.rebucket(8)
+    ok("rebucket")
+    t.purge_tombstones(before_seq=100)
+    ok("purge_tombstones")
+    t.expire_snapshots(keep_last=2, orphan_grace_s=0)
+    ok("expire_snapshots")
+    c = t.clone(str(tmp_path / "life_clone"))
+    r = c.fsck(deep=True)
+    assert r["ok"], r["findings"]

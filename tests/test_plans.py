@@ -685,3 +685,80 @@ def test_histogram_single_combinable_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan and "partial_min" in plan
     assert "Join" not in plan
+
+
+def test_new_analytics_queries_have_no_quadratic_or_global_shapes(spark):
+    """r4-late analytics batch: the properties that keep each shape alive
+    at 100 TB — no cartesian/BNLJ anywhere, windows partitioned (never a
+    data-sized SinglePartition), aggregation pre-reduced map-side."""
+    for name in (
+        "order_concurrency_peak",
+        "forward_fill_daily",
+        "mode_per_group",
+        "cumulative_distinct_users",
+        "name_edit_distance_pairs",
+        "time_weighted_avg",
+        "weighted_sample_orders",
+        "mad_anomalies",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # every window runs inside a hash-partitioned exchange; the only
+        # query allowed a SinglePartition is pareto_frontier (points-sized
+        # by construction, asserted separately)
+        assert "SinglePartition" not in plan, name
+        # map-side combine before every exchange-crossing aggregate
+        assert plan.count("HashAggregate") >= 2 or "HashAggregate" not in plan, name
+
+
+def test_weighted_sample_is_scan_local(spark):
+    """The keep decision must be computed in the scan stage (projection
+    over the raw columns), with ONE hash exchange for the class rollup —
+    a sample that shuffles the unsampled table is the scale failure."""
+    plan = _plan(spark, "weighted_sample_orders")
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_grouping_sets_single_exchange_expand(spark):
+    """Irregular grouping sets: the three sets expand map-side (Expand
+    operator) under exactly one exchange — not one scan per set."""
+    plan = _plan(spark, "grouping_sets_census")
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
+    assert len(_scans(plan)) == 1
+
+
+def test_mad_anomalies_no_join(spark):
+    """Median and MAD come from the rank-and-window-broadcast CASE trick:
+    the plan must contain NO join operator (the naive formulation joins
+    the daily table to two per-type median subqueries)."""
+    plan = _plan(spark, "mad_anomalies")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") <= 2  # rollup + per-type windows
+
+
+def test_pareto_sweep_is_points_sized(spark):
+    """The SinglePartition sweep is allowed ONLY because it runs over the
+    DISTINCT point set: the combinable rollup (partial HashAggregate)
+    must sit BELOW the single-partition exchange in the plan."""
+    plan = _plan(spark, "pareto_frontier")
+    assert plan.count("SinglePartition") == 1
+    i_agg = plan.find("HashAggregate")
+    i_single = plan.find("SinglePartition")
+    assert 0 <= i_single < i_agg  # executedPlan prints top-down: the
+    # aggregate (child) appears AFTER the single-partition exchange above it
+    assert "Join" not in plan
+
+
+def test_edit_distance_join_is_blocked_equi(spark):
+    """The fuzzy join must be an equi join keyed on the blocking noun
+    (hash or broadcast), never a cartesian with a levenshtein filter."""
+    plan = _plan(spark, "name_edit_distance_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
