@@ -21,4 +21,5 @@ with zipfile.ZipFile('$ZIP', 'w') as z:
 
 exec spark-submit --master "$MASTER" --py-files "$ZIP" \
     --conf spark.driver.memory="${SPARK_DRIVER_MEM:-48g}" \
+    --conf spark.sql.shuffle.partitions="${SPARK_GRAFT_SHUFFLE_PARTITIONS:-32}" \
     jobs/replay_job.py "$@"
