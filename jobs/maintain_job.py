@@ -66,6 +66,13 @@ def main() -> None:
     )
     p.add_argument("--orphan-grace-s", type=float, default=3600.0)
     p.add_argument(
+        "--auto", action="store_true",
+        help="policy-driven maintenance (lake/maintain.py): compact only "
+        "buckets whose delta chain exceeds --max-delta-chain, expire past "
+        "retention+slack, refresh blooms only where previously built; "
+        "--purge-before-seq still applies explicitly afterwards")
+    p.add_argument("--max-delta-chain", type=int, default=4)
+    p.add_argument(
         "--fsck", choices=["meta", "deep"], default=None,
         help="run the integrity checker after maintenance; 'deep' adds "
         "executor-side footer / bounds / uniqueness proofs; a failed check "
@@ -95,23 +102,33 @@ def main() -> None:
         if (e.get("deltas") if isinstance(e, dict) else None)
     )
     group = args.compact_group if args.compact_group > 0 else nb
-    for g0 in range(0, nb, group):
-        t.compact(
-            buckets=list(range(g0, min(g0 + group, nb))),
-            sort_by=sort_by,
-            zorder_by=zorder_by,
+    auto = None
+    if args.auto:
+        auto = t.auto_maintain(
+            max_delta_chain=args.max_delta_chain,
+            compact_group=group,
+            keep_last=args.keep_last,
+            orphan_grace_s=args.orphan_grace_s,
         )
-        # free replaced bases before the next slice rewrites more
-        t.expire_snapshots(keep_last=1, orphan_grace_s=args.orphan_grace_s)
+    else:
+        for g0 in range(0, nb, group):
+            t.compact(
+                buckets=list(range(g0, min(g0 + group, nb))),
+                sort_by=sort_by,
+                zorder_by=zorder_by,
+            )
+            # free replaced bases before the next slice rewrites more
+            t.expire_snapshots(keep_last=1, orphan_grace_s=args.orphan_grace_s)
 
     purged = None
     if args.purge_before_seq is not None:
         t.purge_tombstones(args.purge_before_seq)
         purged = args.purge_before_seq
 
-    t.expire_snapshots(
-        keep_last=args.keep_last, orphan_grace_s=args.orphan_grace_s
-    )
+    if not args.auto:
+        t.expire_snapshots(
+            keep_last=args.keep_last, orphan_grace_s=args.orphan_grace_s
+        )
     blooms = t.build_blooms() if args.build_blooms else None
     fsck = t.fsck(deep=args.fsck == "deep") if args.fsck else None
     out = {
@@ -122,6 +139,7 @@ def main() -> None:
         "purged_before_seq": purged,
         "kept_snapshots": args.keep_last,
         "blooms": blooms,
+        "auto": auto,
         "fsck": None if fsck is None else {
             "ok": fsck["ok"], "errors": fsck["errors"],
             "warnings": fsck["warnings"],

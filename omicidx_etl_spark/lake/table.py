@@ -1767,6 +1767,16 @@ class LakeTable:
             self._write_snapshot(new)
 
     # -------------------------------------------------------------- retention
+    def auto_maintain(self, **policy) -> dict[str, Any]:
+        """Policy-driven maintenance: compact only buckets whose MOR delta
+        chain exceeds the policy threshold (bucket-sliced, per-slice
+        expiry), expire history past retention + slack, refresh bloom
+        sidecars only where previously built (see lake/maintain.py; purge
+        stays explicit — the table cannot see subscriber offsets)."""
+        from omicidx_etl_spark.lake.maintain import auto_maintain
+
+        return auto_maintain(self, **policy)
+
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Integrity audit of the current snapshot (see lake/fsck.py):
         metadata tier always (manifest-bounded, no jobs); ``deep=True``
