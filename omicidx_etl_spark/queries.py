@@ -4758,3 +4758,134 @@ def first_touch_attribution(spark, sf_dir):
         )
         .orderBy(F.asc("first_type"))
     )
+
+
+@register(
+    "rrf_rank_fusion",
+    """
+    WITH r AS (
+      SELECT p_brand, p_partkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice ASC, p_partkey ASC) AS BIGINT) AS r_price,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY p_size DESC, p_partkey ASC) AS BIGINT) AS r_size
+      FROM part),
+    s AS (
+      SELECT p_brand, p_partkey, r_price, r_size,
+             CAST(100000000 // (60 + r_price)
+                  + 100000000 // (60 + r_size) AS BIGINT) AS rrf_e8
+      FROM r),
+    t AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY rrf_e8 DESC, p_partkey ASC) AS rn
+      FROM s)
+    SELECT p_brand, p_partkey, r_price, r_size, rrf_e8
+    FROM t WHERE rn <= 3 ORDER BY p_brand ASC, rrf_e8 DESC, p_partkey ASC
+    """,
+)
+def rrf_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two rankings —
+    cheapest-price and largest-size — per brand, top-3 fused results per
+    brand. RRF's 1/(k+rank) terms are e8 fixed-point integer divisions
+    (k=60, the canonical constant), so the fused scores and their total
+    order are bit-identical across engines. Scale posture: ALL three
+    windows partition by brand — rankings, fusion and top-k stay inside
+    per-brand partitions, never a global sort (a query-time search system
+    fuses per-query candidate lists the same way: the partition key is
+    the query id). The multi-signal ranking composition behind hybrid
+    retrieval (BM25 + vector + freshness). Reference best-per-group
+    selection: `omicidx_etl/sql/020_entities.sql:26-40`."""
+    p = _t(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand")
+    w_price = wb.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    w_size = wb.orderBy(F.desc("p_size"), F.asc("p_partkey"))
+    r = p.select(
+        "p_brand",
+        "p_partkey",
+        F.row_number().over(w_price).cast("long").alias("r_price"),
+        F.row_number().over(w_size).cast("long").alias("r_size"),
+    )
+    s = r.withColumn(
+        "rrf_e8",
+        F.expr(
+            "cast(100000000 as bigint) div (60 + r_price)"
+            " + cast(100000000 as bigint) div (60 + r_size)"
+        ),
+    )
+    w_top = wb.orderBy(F.desc("rrf_e8"), F.asc("p_partkey"))
+    return (
+        s.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "r_price", "r_size", "rrf_e8")
+        .orderBy(F.asc("p_brand"), F.desc("rrf_e8"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "vocab_containment",
+    """
+    WITH v AS (
+      SELECT DISTINCT source, w AS term
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(TRIM(lower(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.term = b.term AND a.source <> b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_common, sa.n AS n_a,
+           CAST(i.n_common * 1000 // sa.n AS BIGINT) AS containment_permille
+    FROM inter i JOIN sz sa ON i.src_a = sa.source
+    ORDER BY src_a ASC, src_b ASC
+    """,
+)
+def vocab_containment(spark, sf_dir):
+    """ASYMMETRIC set containment |Va ∩ Vb| / |Va| between source
+    vocabularies — the direction-aware companion to
+    `jaccard_source_vocab` (containment is what detects "A is a subset
+    of B" corpus relationships that symmetric Jaccard under-reports;
+    Broder 1997 distinguishes exactly these two resemblance measures).
+    Same scale shape as the Jaccard query: one combinable distinct over
+    (source, term), a TERM-keyed equi self-join (a term meets only its
+    own postings — never a vocabulary cartesian), sizes joined from the
+    tiny broadcast side; exact integer permille. Reference cross-entity
+    link census: `omicidx_etl/sql/030_entity_links.sql:1-20`."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    v = (
+        d.select("source", F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(
+        sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    )
+    return (
+        inter.join(sa, "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            F.expr("n_common * cast(1000 as bigint) div n_a").alias(
+                "containment_permille"
+            ),
+        )
+        .orderBy(F.asc("src_a"), F.asc("src_b"))
+    )

@@ -115,10 +115,14 @@ def ensure_worker_package(spark: SparkSession) -> None:
                     rel = os.path.join(
                         "omicidx_etl_spark", os.path.relpath(full, pkg_dir)
                     )
+                    try:
+                        with open(full, "rb") as fh:
+                            data = fh.read()
+                    except FileNotFoundError:
+                        continue  # editor temp file vanished mid-walk
                     entries.append((full, rel))
                     digest.update(rel.encode())
-                    with open(full, "rb") as fh:
-                        digest.update(fh.read())
+                    digest.update(data)
         sha = digest.hexdigest()[:16]
         zpath = os.path.join(
             tempfile.gettempdir(), f"omicidx_etl_spark_pyfiles-{sha}.zip"
