@@ -75,8 +75,11 @@ def main() -> int:
             as_of_ts=args.as_of_ts,
             io_parallelism=args.io_parallelism,
         )
-    except ValueError as ex:
-        print(json.dumps({"error": str(ex)}))
+    except (ValueError, KeyError, FileNotFoundError) as ex:
+        # FileNotFoundError: --at/--as-of-ts resolving to an expired
+        # snapshot surfaces as a missing snapshot file — still must honor
+        # the one-JSON-line output contract
+        print(json.dumps({"error": f"{type(ex).__name__}: {ex}"}))
         return 1
     summary = dst.snapshot()["summary"]
     out = {

@@ -109,6 +109,8 @@ def main() -> None:
             compact_group=group,
             keep_last=args.keep_last,
             orphan_grace_s=args.orphan_grace_s,
+            sort_by=sort_by,
+            zorder_by=zorder_by,
         )
     else:
         for g0 in range(0, nb, group):
@@ -132,7 +134,17 @@ def main() -> None:
     blooms = t.build_blooms() if args.build_blooms else None
     fsck = t.fsck(deep=args.fsck == "deep") if args.fsck else None
     out = {
-        "compacted_buckets": dirty_before,
+        # in --auto mode only chains >= the threshold compact; report what
+        # the policy actually rewrote, not the raw dirty count
+        "compacted_buckets": (
+            sum(
+                len(a["buckets"])
+                for a in auto["actions"]
+                if a["action"] == "compact"
+            )
+            if auto is not None
+            else dirty_before
+        ),
         "compact_group": group,
         "sort_by": sort_by,
         "zorder_by": zorder_by,

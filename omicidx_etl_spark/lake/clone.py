@@ -46,8 +46,9 @@ from pyspark.sql import SparkSession
 
 
 def _copy_pairs(pairs) -> None:
-    """Executor-side: copy (src, dst) file pairs. stdlib-only closure —
-    pickled by value, no worker package needed."""
+    """Executor-side: copy (src, dst) file pairs. Module-level, so Spark
+    pickles it BY REFERENCE — workers must be able to import this module
+    (ensure_worker_package ships the zip; see session.py)."""
     for src, dst in pairs:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copyfile(src, dst)
@@ -102,7 +103,10 @@ def clone_table(
     os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
 
     if pairs:
+        from omicidx_etl_spark.session import ensure_worker_package
+
         spark: SparkSession = src.spark
+        ensure_worker_package(spark)  # _copy_pairs unpickles by module name
         n = io_parallelism or min(
             len(pairs), spark.sparkContext.defaultParallelism
         )

@@ -121,8 +121,14 @@ def check_table(table, deep: bool = False) -> dict[str, Any]:
             if not fname.endswith(".json"):
                 continue
             n_blooms += 1
-            with open(os.path.join(bdir, fname)) as f:
-                rel = json.load(f).get("dir")
+            try:
+                with open(os.path.join(bdir, fname)) as f:
+                    rel = json.load(f).get("dir")
+            except (OSError, ValueError) as ex:
+                # a half-written/bit-rotted sidecar is exactly the post-crash
+                # state this audit exists for — report it, don't crash on it
+                warn("bad_bloom", f"{fname}: {type(ex).__name__}")
+                continue
             if rel not in live:
                 warn("stale_bloom", rel or fname)
 
@@ -148,7 +154,10 @@ def check_table(table, deep: bool = False) -> dict[str, Any]:
         checked["files"] = len(files)
         bad: list[tuple[str, str]] = []
         if files:
-            sc = table.spark.sparkContext
+            from omicidx_etl_spark.session import ensure_worker_package
+
+            ensure_worker_package(table.spark)  # _footer_errors unpickles
+            sc = table.spark.sparkContext      # by module name on workers
             n = min(len(files), sc.defaultParallelism)
             bad = (
                 sc.parallelize(files, n)
@@ -172,35 +181,64 @@ def check_table(table, deep: bool = False) -> dict[str, Any]:
 
         # 2: recorded bounds must CONTAIN the data (per dir, physical names).
         # A lying bound silently drops rows from bounds-pruned reads.
+        # ONE Spark job per schema version (dirs sharing a physical schema
+        # read together, grouped by input dir), not one job per dir — on a
+        # lake with hundreds of file groups a per-dir driver loop walls on
+        # per-job serial overhead, the exact cost BENCH/BASELINE.md fits.
+        by_schema: dict[int, list[dict[str, Any]]] = {}
         for ent in entries:
-            stats = ent.get("stats")
-            d = os.path.join(table.root, ent["dir"])
-            if not stats or not os.path.isdir(d):
-                continue
-            df = table.spark.read.parquet(d)
+            if ent.get("stats") and os.path.isdir(os.path.join(table.root, ent["dir"])):
+                by_schema.setdefault(ent["schema_id"], []).append(ent)
+        for sid_group, ents in sorted(by_schema.items()):
+            dirs = [os.path.join(table.root, e["dir"]) for e in ents]
+            df = table.spark.read.parquet(*dirs)
             have = set(df.columns)
-            aggs, cols = [], []
-            for col, (lo, hi) in stats.items():
-                if col in have:
-                    aggs += [F.min(col), F.max(col)]
-                    cols.append((col, lo, hi))
-            if not aggs:
+            cols = sorted(
+                {c for e in ents for c in e["stats"] if c in have}
+            )
+            if not cols:
                 continue
-            row = df.agg(*aggs).first()
-            for i, (col, lo, hi) in enumerate(cols):
-                alo, ahi = row[2 * i], row[2 * i + 1]
-                if alo is None:
-                    continue
-                try:
-                    violated = alo < lo or ahi > hi
-                except TypeError:  # cross-type stat (e.g. bytes vs str)
-                    continue
-                if violated:
-                    err(
-                        "stats_bounds",
-                        f"{ent['dir']}.{col}: data [{alo},{ahi}] outside "
-                        f"recorded [{lo},{hi}]",
-                    )
+            # input_file_name() -> parent dir (strip file: scheme, collapse
+            # slashes, drop the filename)
+            dcol = F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", "/"),
+                "/+",
+                "/",
+            )
+            dcol = F.regexp_replace(dcol, "/[^/]*$", "")
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            rows = {
+                r["_dir"]: r
+                for r in df.withColumn("_dir", dcol).groupBy("_dir").agg(*aggs).collect()
+            }  # bounded: one row per live file-group dir
+            for e in ents:
+                key = os.path.normpath(os.path.join(table.root, e["dir"]))
+                r = rows.get(key) or rows.get(key.lstrip("/"))
+                if r is None:  # path-form mismatch — fall back to exact read
+                    r1 = table.spark.read.parquet(
+                        os.path.join(table.root, e["dir"])
+                    ).agg(*aggs).first()
+                    r = {f"lo_{c}": r1[2 * i] for i, c in enumerate(cols)} | {
+                        f"hi_{c}": r1[2 * i + 1] for i, c in enumerate(cols)
+                    }
+                for c, (lo, hi) in e["stats"].items():
+                    if c not in have:
+                        continue
+                    alo, ahi = r[f"lo_{c}"], r[f"hi_{c}"]
+                    if alo is None:
+                        continue
+                    try:
+                        violated = alo < lo or ahi > hi
+                    except TypeError:  # cross-type stat (e.g. bytes vs str)
+                        continue
+                    if violated:
+                        err(
+                            "stats_bounds",
+                            f"{e['dir']}.{c}: data [{alo},{ahi}] outside "
+                            f"recorded [{lo},{hi}]",
+                        )
 
         # 3: seq_ceiling must dominate every __seq on disk, and the
         # reconciled view must be unique per key (the merge invariant).

@@ -43,6 +43,8 @@ def auto_maintain(
     expire_slack: int = 2,
     orphan_grace_s: float = 3600.0,
     bloom_backlog: int = 1,
+    sort_by: "list[str] | None" = None,
+    zorder_by: "list[str] | None" = None,
 ) -> dict[str, Any]:
     """Run due maintenance on ``table``; returns {"actions": [...], ...}."""
     import os
@@ -61,10 +63,13 @@ def auto_maintain(
     )
     for i in range(0, len(due), compact_group):
         chunk = due[i : i + compact_group]
-        table.compact(buckets=chunk)
+        table.compact(buckets=chunk, sort_by=sort_by, zorder_by=zorder_by)
         # per-slice expiry frees each slice's replaced bases before the
         # next slice stages more (scratch stays flat — mega-replay lesson)
-        table.expire_snapshots(keep_last=1, orphan_grace_s=orphan_grace_s)
+        # — at the POLICY's retention, never tighter: truncating history
+        # to 1 here would break read(as_of=)/clone(at=) of snapshots the
+        # operator asked to keep.
+        table.expire_snapshots(keep_last=keep_last, orphan_grace_s=orphan_grace_s)
         actions.append({"action": "compact", "buckets": chunk})
 
     # ---- expire when main's ancestry outgrew retention (with slack)

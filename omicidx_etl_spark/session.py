@@ -105,7 +105,11 @@ def ensure_worker_package(spark: SparkSession) -> None:
         # (a fixed name would let workers import a stale cached copy), and a
         # pre-created foreign file at the path can never be shipped: we only
         # reuse a zip whose name already encodes the bytes we would write.
-        entries: list[tuple[str, str]] = []
+        # Bytes are read ONCE here and reused for the zip write below:
+        # re-reading at write time would race concurrent edits two ways
+        # (a vanished file raises mid-write; changed content gets cached
+        # under the OLD content's hash name, poisoning later runs).
+        entries: list[tuple[str, bytes]] = []
         digest = hashlib.sha256()
         for root, dirs, files in os.walk(pkg_dir):
             dirs.sort()
@@ -120,7 +124,7 @@ def ensure_worker_package(spark: SparkSession) -> None:
                             data = fh.read()
                     except FileNotFoundError:
                         continue  # editor temp file vanished mid-walk
-                    entries.append((full, rel))
+                    entries.append((rel, data))
                     digest.update(rel.encode())
                     digest.update(data)
         sha = digest.hexdigest()[:16]
@@ -133,8 +137,8 @@ def ensure_worker_package(spark: SparkSession) -> None:
         ):
             tmp = zpath + f".tmp-{os.getpid()}"
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
-                for full, rel in entries:
-                    z.write(full, rel)
+                for rel, data in entries:
+                    z.writestr(rel, data)
             os.replace(tmp, zpath)
         try:
             sc.addPyFile(zpath)

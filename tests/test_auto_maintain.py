@@ -138,3 +138,53 @@ def test_maintain_job_auto_flag(spark, table, tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["auto"]["n_actions"] >= 1
     assert out["fsck"]["ok"]
+
+
+def test_auto_compact_preserves_policy_retention(spark, table):
+    """Review-fix regression: per-slice expiry during auto compact must
+    honor the POLICY's keep_last — compaction must not destroy snapshots
+    the operator asked to retain (read(as_of=) of a retained ancestor
+    still works afterwards)."""
+    for seq in range(500, 505):
+        table.merge(
+            dedup_latest(
+                _changes_df(spark, [(seq, "U", "doc_00000004", [seq], 1, "web")])
+            ),
+            mode="mor",
+        )
+    retained_sid = table.snapshot()["snapshot_id"] - 1  # parent of current
+    before = table.read(as_of=retained_sid).count()
+    out = table.auto_maintain(max_delta_chain=4, keep_last=3, orphan_grace_s=0)
+    assert any(a["action"] == "compact" for a in out["actions"])
+    assert table.read(as_of=retained_sid).count() == before
+
+
+def test_auto_threads_sort_spec(spark, table):
+    """Review-fix regression: auto_maintain(sort_by=...) clusters the
+    rewritten bases (values sorted within each parquet file)."""
+    import pyarrow.parquet as pq
+    import os
+
+    for seq in range(600, 605):
+        table.merge(
+            dedup_latest(
+                _changes_df(spark, [(seq, "U", "doc_00000006", [seq], seq, "web")])
+            ),
+            mode="mor",
+        )
+    out = table.auto_maintain(max_delta_chain=4, sort_by=["n_tok"], orphan_grace_s=0)
+    comp = [a for a in out["actions"] if a["action"] == "compact"]
+    assert comp
+    from omicidx_etl_spark.lake.table import _norm_entry
+
+    snap = table.snapshot()
+    b = str(comp[0]["buckets"][0])
+    base = _norm_entry(snap["buckets"][b])["base"]
+    d = os.path.join(table.root, base["dir"])
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet"):
+            vals = pq.read_table(os.path.join(d, fn), columns=["n_tok"])[
+                "n_tok"
+            ].to_pylist()
+            nn = [v for v in vals if v is not None]
+            assert nn == sorted(nn)

@@ -178,3 +178,22 @@ def test_clone_job_cli(spark, table, tmp_path, monkeypatch, capsys):
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "already a table" in err["error"]
     assert _rows(LakeTable.load(spark, dest)) == _rows(table)
+
+
+def test_clone_job_expired_snapshot_keeps_json_contract(
+    spark, table, tmp_path, monkeypatch, capsys
+):
+    """Review-fix regression: --at pointing at a nonexistent snapshot must
+    print the one-line JSON error and exit 1, not traceback."""
+    import json
+
+    import jobs.clone_job as CJ
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["clone_job.py", "--src", table.root,
+         "--dest", str(tmp_path / "nope"), "--at", "999"],
+    )
+    assert CJ.main() == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err

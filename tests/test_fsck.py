@@ -212,3 +212,20 @@ def test_fsck_green_across_maintenance_lifecycle(spark, tmp_path):
     c = t.clone(str(tmp_path / "life_clone"))
     r = c.fsck(deep=True)
     assert r["ok"], r["findings"]
+
+
+def test_corrupt_bloom_sidecar_warns_not_crashes(table):
+    """Review-fix regression: a half-written sidecar json is reported as
+    a bad_bloom warning, not an uncaught JSONDecodeError."""
+    import os
+
+    from omicidx_etl_spark.lake.bloom import BLOOM_SUBDIR
+
+    table.build_blooms()
+    bdir = os.path.join(table.root, BLOOM_SUBDIR)
+    victim = next(f for f in sorted(os.listdir(bdir)) if f.endswith(".json"))
+    with open(os.path.join(bdir, victim), "w") as f:
+        f.write('{"m": 1024, "bits": "truncat')  # mid-write crash artifact
+    r = table.fsck()
+    assert r["ok"]  # warning, not error
+    assert "bad_bloom" in _codes(r)
