@@ -44,60 +44,27 @@ def register(name: str, oracle: str | None):
 # are still checked locally by tests/test_oracle_parity.py and
 # scripts/sf1_parity.py regardless of order).
 _DRIVER_PRIORITY: list[str] = [
-    # r4 late additions (never driver-seen)
-    "bm25_topk_docs",
-    "hopping_window_counts",
-    "inverted_index_postings",
-    "salted_join_supplier_volume",
-    "term_cooccurrence_pmi",
-    "event_transitions_topk",
-    "window_anomalies",
-    "kmv_distinct_users",
-    "kmv_union_estimate",
-    "rolling_daily_stats",
-    "triangle_count",
-    "jaccard_source_vocab",
-    "histogram_prices",
-    "pagerank_bipartite",
-    "profile_table",
-    # r4 additions (never driver-seen)
-    "semantic_dedup",
-    "token_budget_select",
-    "mixture_sample",
-    "span_dedup",
-    "multimodal_real_decode",
-    "dedup_exact",  # output changed r4 (bounded canonical form) — re-verify
-    "asof_join_latest_price",
-    "token_bigrams_topk",
-    "vocab_coverage",
-    "grouped_sample_topk_hash",
-    "diversity_by_source",
-    "null_safe_join",
-    "funnel_conversion",
-    "retention_cohorts",
-    # past the 50-cap in r3 (13 never driver-seen, then 9 r02-green)
-    "scd2_history",
-    "dedup_incremental",
-    "pack_sequences",
-    "agg_rollup_census",
-    "pivot_status_cents",
-    "unpivot_measures",
-    "percentile_by_type",
-    "range_join_neighbors",
-    "gaps_islands",
-    "cube_lang_source",
-    "ntile_quartiles",
-    "first_last_per_user",
-    "ann_ivf_indexed",
-    "dedup_simhash_near",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_norms",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "multimodal_features",
-    "token_normalize",
+    # r5: the 15 registry entries with no driver CORRECTNESS row in r1-r4
+    # (VERDICT r4 "Next round" #1) — fronted so the cumulative driver-green
+    # set reaches 115/115.
+    "bitmap_daily_activity",
+    "cumulative_distinct_users",
+    "first_touch_attribution",
+    "forward_fill_daily",
+    "gini_concentration",
+    "grouping_sets_census",
+    "mad_anomalies",
+    "mode_per_group",
+    "name_edit_distance_pairs",
+    "order_concurrency_peak",
+    "pareto_frontier",
+    "rrf_rank_fusion",
+    "time_weighted_avg",
+    "vocab_containment",
+    "weighted_sample_orders",
+    # r5 new additions (never driver-seen) — names must be appended here too,
+    # or they land after all 100 existing registry entries and miss the
+    # driver's 50-row window.
 ]
 
 

@@ -235,7 +235,22 @@ def main() -> int:
     detail = dict(res, batch_secs=[round(s, 2) for s in batch_secs],
                   compact_secs=[round(s, 2) for s in compact_secs])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "mega_replay_r04.json"), "w") as f:
+    # Overwrite guard (VERDICT r4 "What's wrong" #1): a smoke/debug run must
+    # never clobber an artifact that records MORE events than it does. Smaller
+    # runs are parked under mega_replay_smoke.json instead.
+    art = os.path.join(REPO, "BENCH", "mega_replay_r04.json")
+    if os.path.exists(art):
+        try:
+            with open(art) as f:
+                prev_events = json.load(f).get("events_applied", 0)
+        except (OSError, ValueError):
+            prev_events = 0
+        if applied < prev_events:
+            print(f"[mega_replay] existing artifact records {prev_events} events "
+                  f"> this run's {applied}; writing to mega_replay_smoke.json",
+                  file=sys.stderr)
+            art = os.path.join(REPO, "BENCH", "mega_replay_smoke.json")
+    with open(art, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(res))
     return 0 if state_ok else 1
