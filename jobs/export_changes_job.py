@@ -80,11 +80,19 @@ def main() -> int:
         print(json.dumps({"applied": False, "sec": round(time.time() - t0, 2)}))
         return 0
     df, from_sid, to_sid = polled
+    # Count the polled frame directly — NOT by re-reading the drop with
+    # schema inference: a metadata-only interval (add_constraint, compact)
+    # nets zero rows, and JSON inference over the resulting empty .json.gz
+    # parts raises AnalysisException, wedging every subsequent run on the
+    # same interval. The zero-row drop itself is still written (consumers
+    # validate interval contiguity, so holes in the drop sequence are
+    # worse than an empty marked dir; apply_feed reads with an explicit
+    # schema and handles empty drops).
+    rows = df.count()
     drop = os.path.join(
         args.out, f"interval-{'begin' if from_sid is None else from_sid}-{to_sid}"
     )
     write_ndjson_gz(df, drop)
-    rows = spark.read.json(drop).count()
     # done-marker AFTER data: consumers only trust marked dirs
     with open(os.path.join(drop, "_DONE"), "w") as f:
         f.write(json.dumps({"from_sid": from_sid, "to_sid": to_sid, "rows": rows}))

@@ -31,15 +31,26 @@ _DIR_RE = re.compile(r"^interval-(begin|\d+)-(\d+)$")
 
 def list_drops(feed_dir: str) -> "list[tuple[int, str]]":
     """Completed (``_DONE``-marked) interval drops, ordered by to_sid."""
-    out: list[tuple[int, str]] = []
+    return [(to_sid, path) for to_sid, _from, path in list_drops_full(feed_dir)]
+
+
+def list_drops_full(feed_dir: str) -> "list[tuple[int, int | None, str]]":
+    """Completed drops as (to_sid, from_sid, path); from_sid is None for a
+    full-state bootstrap drop (``interval-begin-<sid>``)."""
+    out: list[tuple[int, int | None, str]] = []
     if not os.path.isdir(feed_dir):
         return out
     for name in os.listdir(feed_dir):
         m = _DIR_RE.match(name)
         path = os.path.join(feed_dir, name)
         if m and os.path.exists(os.path.join(path, "_DONE")):
-            out.append((int(m.group(2)), path))
-    return sorted(out)
+            frm = None if m.group(1) == "begin" else int(m.group(1))
+            out.append((int(m.group(2)), frm, path))
+    # bootstrap (from_sid None) sorts before an incremental drop with the
+    # same to_sid: it is self-contained, so applying it first lets the
+    # overlapping incremental skip under the watermark instead of tripping
+    # the contiguity guard
+    return sorted(out, key=lambda t: (t[0], t[1] is not None, t[1] or -1))
 
 
 def apply_feed(
@@ -64,7 +75,29 @@ def apply_feed(
             T.StructField("_seq", T.LongType()),
         ]
     )
-    for to_sid, path in list_drops(feed_dir):
+    for to_sid, from_sid, path in list_drops_full(feed_dir):
+        # Contiguity guard: the txn watermark is a HIGH-WATER mark, so a
+        # drop whose to_sid is below it would be skipped wholesale even if
+        # its interval was never applied (e.g. a misordered file transfer
+        # ships interval-5-8 before interval-begin-5). Refuse to create such
+        # a hole: an incremental drop may only apply when its from_sid is
+        # covered by what this consumer has already applied; a bootstrap
+        # drop (from_sid None, or from_sid 0 = the empty creation
+        # snapshot) is self-contained and always safe.
+        last = table.committed_batch(app_id)
+        if last is not None and to_sid <= last:
+            results.append({"to_sid": to_sid, "dir": path, "applied": False})
+            continue
+        if from_sid is not None and from_sid > 0 and (
+            last is None or from_sid > last
+        ):
+            raise ValueError(
+                f"feed gap: drop {os.path.basename(path)} starts at sid "
+                f"{from_sid} but consumer {app_id!r} has applied "
+                f"{'nothing' if last is None else f'through sid {last}'}; "
+                "apply the missing drop(s) first (refusing to skip an "
+                "interval forever)"
+            )
         df = table.spark.read.schema(read_schema).json(path)
         batch = df.select(
             F.when(F.col("_change_type") == "delete", F.lit("D"))

@@ -356,6 +356,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Duplicate-CLUSTER formation: connected components over a near-dup
     pair set, via iterative min-label propagation with pointer jumping.
@@ -375,28 +376,42 @@ def connected_components(
     Converges in O(log diameter) rounds and near-dup components are
     shallow quasi-cliques, so 2-4 rounds in practice. Scale posture: each
     round is two key-partitioned shuffles over the EDGE set (already
-    LSH-pruned — never all-pairs over the corpus); ``localCheckpoint``
-    truncates lineage so the plan stays O(1) per round (a multi-executor
-    deployment would use a reliable ``checkpoint`` dir); driver-side work
-    is one ``count()`` per round for the convergence test — O(rounds)
-    scalars, no data collected.
+    LSH-pruned — never all-pairs over the corpus); lineage is truncated
+    each round so the plan stays O(1) per round. Default truncation is
+    ``localCheckpoint`` (fine single-box; blocks live on executors, so an
+    executor loss on a real cluster kills them) — pass ``checkpoint_dir``
+    to use reliable ``checkpoint()`` to shared storage instead, the
+    multi-executor deployment posture. Driver-side work is one
+    ``count()`` per round for the convergence test — O(rounds) scalars,
+    no data collected.
 
     Returns (doc_id, cluster_id, cluster_size, is_canonical), one row per
     doc appearing in any pair; cluster_id is the lexicographic min doc_id
     of the component (deterministic canonical choice).
     """
+    if checkpoint_dir is not None:
+        spark = pairs.sparkSession
+        prev = spark.sparkContext.getCheckpointDir()
+        if prev != checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
+    edges = _ckpt(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition("dst")  # each round's propagate joins on dst
-        .localCheckpoint(eager=True)
     )
 
-    labels = (
+    labels = _ckpt(
         edges.groupBy("src")
         .agg(F.min("dst").alias("nmin"))
         .select(F.col("src").alias("node"), F.least("src", "nmin").alias("label"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -413,12 +428,10 @@ def connected_components(
         )
         # pointer jump: label <- min(label, label(label))
         hop = prop.select(F.col("node").alias("label"), F.col("label").alias("plabel"))
-        new_labels = (
-            prop.join(hop, "label", "left")
-            .select(
+        new_labels = _ckpt(
+            prop.join(hop, "label", "left").select(
                 "node", F.least("label", F.coalesce("plabel", "label")).alias("label")
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")

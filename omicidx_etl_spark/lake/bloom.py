@@ -117,18 +117,34 @@ def build_blooms(
     }
 
 
-def prune_blooms(table) -> int:
+TMP_GRACE_SEC = 3600.0
+
+
+def prune_blooms(table, tmp_grace_sec: float = TMP_GRACE_SEC) -> int:
     """Delete sidecars whose data dir is gone (expired/compacted-away).
     Safe by construction: a sidecar names its dir; a dir that no longer
     exists can never be scanned, so its sidecar is dead weight. Sidecars
     missing the dir field (unreadable/foreign files) are also removed —
-    dirs_to_skip would never trust them anyway."""
+    dirs_to_skip would never trust them anyway. Orphaned ``.tmp-*`` files
+    from a crashed ``atomic_write_json`` are deleted once older than
+    ``tmp_grace_sec`` (the grace period protects a concurrent in-flight
+    write; without the sweep they would accumulate forever)."""
+    import time
+
     bdir = os.path.join(table.root, BLOOM_SUBDIR)
     if not os.path.isdir(bdir):
         return 0
     pruned = 0
+    now = time.time()
     for name in os.listdir(bdir):
         if name.endswith(".tmp") or ".tmp-" in name:
+            path = os.path.join(bdir, name)
+            try:
+                if now - os.path.getmtime(path) > tmp_grace_sec:
+                    os.remove(path)
+                    pruned += 1
+            except OSError:
+                pass
             continue
         path = os.path.join(bdir, name)
         try:

@@ -505,7 +505,12 @@ class LakeTable:
         bdir = os.path.join(self.root, BLOOM_SUBDIR)
         rows = []
         if os.path.isdir(bdir):
+            # '.json' filter (like fsck): a fully-written-but-unrenamed
+            # '.json.tmp-<hex>' from a crashed atomic_write_json parses
+            # fine and would otherwise show up as a duplicate sidecar row
             for name in sorted(os.listdir(bdir)):
+                if not name.endswith(".json"):
+                    continue
                 try:
                     with open(os.path.join(bdir, name)) as f:
                         meta = json.load(f)

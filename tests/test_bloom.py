@@ -138,3 +138,42 @@ def test_bloom_sidecars_pruned_after_compaction(table):
     assert len(_os.listdir(bdir)) <= n_before
     got = table.lookup(["doc_00000002"]).first()
     assert got is not None
+
+
+def test_orphan_tmp_files_pruned_after_grace(table):
+    """A crashed atomic_write_json leaves '<name>.json.tmp-<hex>' orphans;
+    prune_blooms deletes them once older than the grace period (fresh ones
+    survive — they may be a concurrent in-flight write), and meta_blooms
+    never surfaces them as sidecar rows even when fully written."""
+    import json as _json
+    import os as _os
+
+    from omicidx_etl_spark.lake.bloom import prune_blooms
+
+    table.build_blooms()
+    bdir = _os.path.join(table.root, "_index", "bloom")
+    # fully-written-but-unrenamed tmp (parses fine) + a fresh one
+    real = next(n for n in _os.listdir(bdir) if n.endswith(".json"))
+    with open(_os.path.join(bdir, real)) as f:
+        payload = f.read()
+    stale = _os.path.join(bdir, real + ".tmp-deadbeef")
+    fresh = _os.path.join(bdir, real + ".tmp-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write(payload)
+    _os.utime(stale, (0, 0))  # ancient mtime -> past any grace period
+
+    rows = table.meta_blooms().collect()
+    dirs = [r["dir"] for r in rows]
+    assert len(dirs) == len(set(dirs)), "tmp file surfaced as duplicate sidecar"
+
+    pruned = prune_blooms(table)
+    assert pruned >= 1
+    assert not _os.path.exists(stale), "stale tmp orphan not cleaned"
+    assert _os.path.exists(fresh), "fresh (in-flight) tmp must survive grace"
+    # zero-grace sweep removes the fresh one too
+    prune_blooms(table, tmp_grace_sec=0.0)
+    assert not _os.path.exists(fresh)
+    # sidecars untouched -> lookups still bloom-assisted and correct
+    meta = _json.loads(payload)
+    assert _os.path.exists(_os.path.join(bdir, real)) and meta["dir"]

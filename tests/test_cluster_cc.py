@@ -55,6 +55,32 @@ def test_star_and_triangle(spark):
     assert all(got[n] == (1, 3, 1 if n == 1 else 0) for n in (1, 2, 3))
 
 
+def test_reliable_checkpoint_dir_option(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to reliable
+    checkpoint() files under the given dir (the multi-executor posture —
+    localCheckpoint blocks die with an executor); results must be
+    identical to the default, and checkpoint data must actually land in
+    the dir."""
+    import os
+
+    ck = str(tmp_path / "cc_ckpt")
+    pairs = [(i, i + 1) for i in range(11)] + [(50, 60)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = D.connected_components(df, checkpoint_dir=ck)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in out.collect()
+    }
+    assert got == _cc(spark, pairs)  # default (localCheckpoint) agrees
+    # reliable checkpoint files were written under the requested dir
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ck)
+        for f in fs
+    ]
+    assert files, "no reliable checkpoint data written"
+
+
 def test_canonical_filter_composes(spark):
     # The downstream use: keep one survivor per cluster — exactly the
     # canonical rows, one per component.

@@ -132,3 +132,103 @@ def test_feed_deletes_only_drop_applies(spark, tmp_path, monkeypatch, capsys):
     a = sorted(r["doc_id"] for r in src.read().collect())
     b = sorted(r["doc_id"] for r in dst.read().collect())
     assert a == b
+
+
+def test_feed_gap_raises_instead_of_silent_skip(spark, tmp_path):
+    """A misordered file transfer can deliver interval-5-8 before
+    interval-begin-5 ('b' sorts after '5'); the high-water txn watermark
+    would then skip the begin drop FOREVER. apply_feed must refuse to
+    create the hole: an incremental drop whose from_sid is not covered by
+    what this consumer has applied raises instead of applying."""
+    import pytest
+
+    from omicidx_etl_spark.cdc import apply_feed
+
+    src_root = str(tmp_path / "s4")
+    feed = str(tmp_path / "feed4")
+    ch = datagen.gen_changes(spark, 900, 90, seed=11)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    src = LakeTable.create(spark, src_root, schema, key="doc_id", n_buckets=4)
+    src.merge(dedup_latest(ch.filter("seq < 450").drop("event_ts")))
+    s1 = src.snapshot()["snapshot_id"]
+    src.merge(dedup_latest(ch.filter("seq >= 450").drop("event_ts")))
+    s2 = src.snapshot()["snapshot_id"]
+
+    # simulate the partial transfer: ONLY the incremental drop arrived
+    from omicidx_etl_spark.sources.io import write_ndjson_gz
+
+    inc, frm, to = src.changes(s1, include_seq=True), s1, s2
+    drop = os.path.join(feed, f"interval-{frm}-{to}")
+    write_ndjson_gz(inc, drop)
+    with open(os.path.join(drop, "_DONE"), "w") as f:
+        f.write(json.dumps({"from_sid": frm, "to_sid": to}))
+
+    dst = LakeTable.create(
+        spark, str(tmp_path / "d4"), schema, key="doc_id", n_buckets=4
+    )
+    with pytest.raises(ValueError, match="feed gap"):
+        apply_feed(dst, feed)
+    # nothing committed
+    assert dst.read().count() == 0
+
+    # the missing begin drop arrives (exported via a fresh subscription)
+    from omicidx_etl_spark.cdc import ChangelogSubscription
+
+    sub = ChangelogSubscription(src, str(tmp_path / "off4"), consumer_id="gap")
+    bdf, bfrm, bto = sub.poll()  # full bootstrap (from table birth)
+    assert bfrm in (None, 0) and bto == s2
+    bname = f"interval-{'begin' if bfrm is None else bfrm}-{bto}"
+    bdrop = os.path.join(feed, bname)
+    write_ndjson_gz(bdf, bdrop)
+    with open(os.path.join(bdrop, "_DONE"), "w") as f:
+        f.write(json.dumps({"from_sid": bfrm, "to_sid": bto}))
+    out = apply_feed(dst, feed)
+    # the bootstrap drop (self-contained) applies first at the tied
+    # to_sid; the s1->s2 drop is then below the watermark and skips as
+    # already-covered
+    by_dir = {os.path.basename(r["dir"]): r["applied"] for r in out}
+    assert by_dir[bname] is True
+    assert by_dir[f"interval-{frm}-{to}"] is False
+    a = sorted((r["doc_id"], r["n_tok"]) for r in src.read().collect())
+    b = sorted((r["doc_id"], r["n_tok"]) for r in dst.read().collect())
+    assert a == b and a
+
+
+def test_zero_row_interval_exports_and_applies(spark, tmp_path, monkeypatch, capsys):
+    """A metadata-only commit (add_constraint) advances the snapshot but
+    nets zero changelog rows. The export job must not crash on JSON
+    inference over the empty drop (counts the polled frame directly), the
+    drop still lands (contiguity: consumers validate from_sid), and
+    apply_feed applies the empty drop as a watermark-advancing no-op."""
+    from omicidx_etl_spark.cdc import apply_feed
+
+    src_root = str(tmp_path / "s5")
+    feed = str(tmp_path / "feed5")
+    ckpt = str(tmp_path / "off5")
+    ch = datagen.gen_changes(spark, 600, 60, seed=13)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    src = LakeTable.create(spark, src_root, schema, key="doc_id", n_buckets=4)
+    src.merge(dedup_latest(ch.drop("event_ts")))
+    argv = ["--src", src_root, "--out", feed, "--checkpoint", ckpt]
+    rc, out = _run(monkeypatch, capsys, argv)
+    assert rc == 0 and out["rows"] > 0
+
+    src.add_constraint("nn", "n_tok >= 0")  # metadata-only interval
+    rc, out = _run(monkeypatch, capsys, argv)
+    assert rc == 0 and out["applied"] and out["rows"] == 0
+    assert os.path.exists(os.path.join(out["dir"], "_DONE"))
+
+    # rerun: caught up, no crash, no new dir
+    dirs_before = set(os.listdir(feed))
+    rc, out = _run(monkeypatch, capsys, argv)
+    assert rc == 0 and out["applied"] is False
+    assert set(os.listdir(feed)) == dirs_before
+
+    dst = LakeTable.create(
+        spark, str(tmp_path / "d5"), schema, key="doc_id", n_buckets=4
+    )
+    res = apply_feed(dst, feed)
+    assert [r["applied"] for r in res] == [True, True]
+    a = sorted(r["doc_id"] for r in src.read().collect())
+    b = sorted(r["doc_id"] for r in dst.read().collect())
+    assert a == b
