@@ -192,6 +192,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "token_count",
     "doc_fingerprint",
+    # heavy training-data-pipeline paths (VERDICT r4 #4): regressions in
+    # the most expensive LLM-curation operators must show in the driver
+    # bench, not only in parity
+    "semantic_dedup",
+    "span_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "pack_sequences",
 ]
 
 TABLE_SCHEMA_FIELDS = [
