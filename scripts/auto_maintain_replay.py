@@ -71,8 +71,11 @@ def main() -> int:
     max_chain_seen = 0
     n_compact_actions = 0
     for b in range(BATCHES):
+        # gen_changes seqs are [1, n_events] INCLUSIVE: slice (lo, hi]
+        # (the old [lo, hi) slicing silently dropped the final event —
+        # invisible to the count-only oracle unless that event was a D)
         lo, hi = b * BATCH_EVENTS, (b + 1) * BATCH_EVENTS
-        batch = full.filter((F.col("seq") >= lo) & (F.col("seq") < hi)).drop(
+        batch = full.filter((F.col("seq") > lo) & (F.col("seq") <= hi)).drop(
             "event_ts"
         )
         t0 = time.time()
