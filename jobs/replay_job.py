@@ -102,13 +102,17 @@ def main() -> None:
         )
     else:
         from omicidx_etl_spark.cdc import replay_log
+        from omicidx_etl_spark.progress import LogProgress
 
+        hb = LogProgress("replay", min_interval_s=10.0, table=args.table)
         snaps = replay_log(
             spark, table, args.log, chunk_events=args.chunk, app_id=args.app_id,
             mode=args.mode, compact_every=args.compact_every, lineage=lineage,
             dedup_method=args.dedup,
             canonicalize_every=args.canonicalize_every,
+            progress=hb,
         )
+        hb.complete()
     dt = time.time() - t0
     events = sum(
         (s.get("summary", {}).get("event_count") or 0) for s in snaps

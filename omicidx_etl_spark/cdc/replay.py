@@ -44,7 +44,10 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:
+    from omicidx_etl_spark.progress import LogProgress
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -349,6 +352,7 @@ def replay_log(
     canonicalize_every: int | None = None,
     canonicalize_method: str = "exact",
     canonicalize_content_col: str = "tokens",
+    progress: "LogProgress | None" = None,
 ) -> list[dict[str, Any]]:
     """Batch-replay a parquet change log in ordered seq-range micro-batches.
 
@@ -369,6 +373,11 @@ def replay_log(
     (batch-id–keyed, so kill/resume never double-deletes). The full pass
     is right for bounded tables; at corpus scale prefer the standalone
     incremental job (``canonicalize_incremental`` + signature index).
+
+    ``progress``: optional :class:`omicidx_etl_spark.progress.LogProgress`
+    heartbeat, updated with each batch's applied event count (the
+    reference's rate-limited console progress, ``omicidx_etl/log.py:
+    187-259``, at batch granularity; durable rates live in lineage).
     """
     segs = _segment_index(log_path, seq)
     log = spark.read.parquet(log_path)
@@ -397,6 +406,10 @@ def replay_log(
                 fanout=fanout,
             )
         )
+        if progress is not None:
+            progress.update(
+                int((snaps[-1].get("summary") or {}).get("event_count") or 0)
+            )
         if compact_every and (b + 1) % compact_every == 0:
             table.compact()
         if canonicalize_every and (b + 1) % canonicalize_every == 0:
