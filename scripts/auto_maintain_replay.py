@@ -16,7 +16,7 @@ must prove four things at once:
 4. **the state stays exact**: final rows equal the DuckDB latest-per-key
    oracle over the full log.
 
-Emits ONE JSON line and writes BENCH/auto_maintain_replay_r04.json.
+Emits ONE JSON line and writes BENCH/auto_maintain_replay_r05.json.
 Run ALONE (benchmark hygiene). ~3-6 min at the default size.
 """
 
@@ -132,7 +132,7 @@ def main() -> int:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(
-        os.path.join(REPO, "BENCH", "auto_maintain_replay_r04.json"), "w"
+        os.path.join(REPO, "BENCH", "auto_maintain_replay_r05.json"), "w"
     ) as f:
         json.dump({"line": out, "rates": [round(r, 1) for r in rates]}, f, indent=1)
     print(json.dumps(out))
