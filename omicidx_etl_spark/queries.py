@@ -65,6 +65,16 @@ _DRIVER_PRIORITY: list[str] = [
     # r5 new additions (never driver-seen) — names must be appended here too,
     # or they land after all 100 existing registry entries and miss the
     # driver's 50-row window.
+    "reservoir_sample_hash",
+    "heavy_hitters_tokens",
+    "doc_length_log2_histogram",
+    "sources_by_lang",
+    "ttr_by_source",
+    "boilerplate_prefix_dup",
+    "contamination_overlap_score",
+    "fertility_by_lang",
+    "label_centroids_e6",
+    "order_value_drift",
 ]
 
 
@@ -4855,4 +4865,422 @@ def vocab_containment(spark, sf_dir):
             ),
         )
         .orderBy(F.asc("src_a"), F.asc("src_b"))
+    )
+
+
+# --------------------------------------------------------------------------
+# r5 additions: curation/eval-flavored operators over the documents /
+# embeddings / orders tables. Same conventions as the rest of the registry:
+# identical column aliases on both sides, integer-exact outputs (permille /
+# ppm / fixed-point cents via floor(x*scale+0.5) computed identically),
+# deterministic total orders before any LIMIT.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "reservoir_sample_hash",
+    """
+    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+    FROM documents
+    ORDER BY h ASC, doc_id ASC LIMIT 64
+    """,
+)
+def reservoir_sample_hash(spark, sf_dir):
+    """Deterministic global k-sample: the 64 docs with the smallest
+    md5(doc_id) — a keyed 'reservoir' that is stable under corpus growth
+    and resharding (a doc enters/leaves the sample only when a smaller
+    hash arrives, never because partitioning changed; same property
+    family as `stratified_sample`, but with an exact global k instead of
+    a rate). Plan: scan-local hash projection → TakeOrderedAndProject —
+    per-partition top-64 then a 64-row driver merge, never a global sort
+    of the corpus (the scalable global-sample shape at 10^10 docs).
+    Reference subsets slices imperatively (`omicidx_etl/sra/catalog.py`).
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias("h"),
+        )
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(64)
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    r"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT unnest(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    cnt AS (SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt)
+    SELECT token, n, CAST(n * 1000000 // t AS BIGINT) AS freq_ppm
+    FROM cnt, tot WHERE n * 200 > t
+    ORDER BY token ASC
+    """,
+)
+def heavy_hitters_tokens(spark, sf_dir):
+    """Exact heavy hitters: tokens above 0.5% corpus frequency (the
+    filter-list builder for stopword/boilerplate removal). Unlike
+    `top_tokens` (fixed k) the output is frequency-defined, so the
+    whole answer set survives corpus growth. Plan: one combinable token
+    count (the only corpus-sized exchange), a 1-row total broadcast to
+    every count (tiny BNLJ), scan-local threshold filter. ppm as exact
+    integer division — bit-identical cross-engine."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    cnt = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 200 > F.col("t"))
+        .select(
+            "token",
+            "n",
+            F.expr("n * cast(1000000 as bigint) div t").alias("freq_ppm"),
+        )
+        .orderBy(F.asc("token"))
+    )
+
+
+@register(
+    "doc_length_log2_histogram",
+    """
+    SELECT CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1 ORDER BY log2_bucket ASC
+    """,
+)
+def doc_length_log2_histogram(spark, sf_dir):
+    """Corpus length distribution in power-of-two buckets (the curation
+    dashboard histogram: truncation/padding planning for sequence
+    packing). Bucket = bit length of n_chars — pure integer arithmetic,
+    no float log2 to disagree across engines. Plan: scan-local bucket
+    expression + one partial-aggregated exchange of ≤64 groups."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy(F.length(F.bin("n_chars")).cast("long").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(F.asc("log2_bucket"))
+    )
+
+
+@register(
+    "sources_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+    FROM documents GROUP BY lang ORDER BY lang ASC
+    """,
+)
+def sources_by_lang(spark, sf_dir):
+    """Group-level set roll-up: which sources feed each language, as a
+    sorted CSV (the mixture-composition summary a curation report
+    prints). collect_set is bounded by the SOURCE vocabulary (tens), not
+    row count, so the per-group state is O(|sources|) — safe where a
+    collect_list of rows would not be. Sorted before join: set iteration
+    order is engine-dependent, the serialized form must not be."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.collect_set("source").alias("s"))
+        .select(
+            "lang",
+            F.size("s").cast("long").alias("n_sources"),
+            F.array_join(F.array_sort("s"), ",").alias("sources"),
+        )
+        .orderBy(F.asc("lang"))
+    )
+
+
+@register(
+    "ttr_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    per AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(COUNT(*) * 1000 // SUM(n) AS BIGINT) AS ttr_permille
+    FROM per GROUP BY source ORDER BY source ASC
+    """,
+)
+def ttr_by_source(spark, sf_dir):
+    """Lexical diversity per source: type-token ratio in permille (a
+    low-diversity source is template/boilerplate-heavy — a standard
+    corpus-quality signal next to the Gopher filters). Two-level
+    aggregation instead of COUNT(DISTINCT): the (source, token) partial
+    count is map-side combinable and the second level is |vocab|-sized —
+    the skew-safe distinct-count shape at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_tokens",
+            F.expr(
+                "distinct_tokens * cast(1000 as bigint) div total_tokens"
+            ).alias("ttr_permille"),
+        )
+        .orderBy(F.asc("source"))
+    )
+
+
+@register(
+    "boilerplate_prefix_dup",
+    """
+    SELECT substr(md5(substr(text, 1, 32)), 1, 16) AS prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    ORDER BY prefix_hash ASC
+    """,
+)
+def boilerplate_prefix_dup(spark, sf_dir):
+    """Shared-prefix detection: groups of docs opening with the same 32
+    chars (license headers, scraped nav chrome, template intros — the
+    duplication exact dedup misses because the TAILS differ). Map-only
+    hash + combinable count/min: a boilerplate prefix on 10^7 docs costs
+    one counter, never a buffer (same posture as `span_dedup`)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.substring(F.md5(F.substring("text", 1, 32)), 1, 16).alias(
+                "prefix_hash"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.asc("prefix_hash"))
+    )
+
+
+@register(
+    "contamination_overlap_score",
+    r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(lower(text)), '\s+') AS w
+      FROM documents),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i FROM words),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g FROM idx),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams
+      WHERE doc_id % 53 <> 0 GROUP BY 1),
+    hit AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM grams g JOIN eval_grams e USING (g)
+      WHERE g.doc_id % 53 <> 0 GROUP BY 1)
+    SELECT doc_id, n_grams, n_hit,
+           CAST(n_hit * 1000 // n_grams AS BIGINT) AS overlap_permille
+    FROM tot JOIN hit USING (doc_id)
+    ORDER BY overlap_permille DESC, doc_id ASC LIMIT 100
+    """,
+)
+def contamination_overlap_score(spark, sf_dir):
+    """Contamination SCORING on top of `decontaminate_ngram`'s flagging:
+    permille of each corpus doc's distinct 4-grams that appear in the
+    eval slice, worst offenders first (the triage list an operator
+    reviews before dropping docs — Dodge et al. 2021's overlap fraction).
+    Plan: grams exploded once and reused for both the per-doc total and
+    the broadcast-join hit count (eval grams stay tiny and broadcast; no
+    corpus shuffle beyond the two per-doc combinable counts), then
+    TakeOrderedAndProject for the top-100."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(X.full_ngrams_expr(F.col("text"), 4)).alias("g")
+    )
+    corpus_g = grams.filter(F.col("doc_id") % 53 != 0)
+    eval_g = grams.filter(F.col("doc_id") % 53 == 0).select("g").distinct()
+    tot = corpus_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        corpus_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tot.join(hit, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.expr("n_hit * cast(1000 as bigint) div n_grams").alias(
+                "overlap_permille"
+            ),
+        )
+        .orderBy(F.desc("overlap_permille"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "fertility_by_lang",
+    r"""
+    SELECT lang,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(nt) * 1000 // SUM(n_chars) AS BIGINT)
+             AS tokens_per_kilochar
+    FROM (
+      SELECT lang, n_chars,
+             len(regexp_split_to_array(TRIM(lower(text)), '\s+')) AS nt
+      FROM documents WHERE n_chars > 0)
+    GROUP BY lang ORDER BY lang ASC
+    """,
+)
+def fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility proxy per language: whitespace tokens per 1000
+    chars (the budget planner for a multilingual token target — CJK-like
+    langs tokenize denser, so char budgets mislead). Pure per-row
+    arithmetic + one tiny grouped sum; integer permille output."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "lang",
+            "n_chars",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "total_chars",
+            F.expr(
+                "n_tokens * cast(1000 as bigint) div total_chars"
+            ).alias("tokens_per_kilochar"),
+        )
+        .orderBy(F.asc("lang"))
+    )
+
+
+@register(
+    "label_centroids_e6",
+    """
+    WITH ex AS (
+      SELECT label, embedding AS e,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(CAST(e[i] AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_e6
+    FROM ex GROUP BY label, i
+    ORDER BY label ASC, dim ASC
+    """,
+)
+def label_centroids_e6(spark, sf_dir):
+    """Per-label embedding centroid accumulators: (count, fixed-point
+    component sum) per dimension — the reduction underneath k-means /
+    SemDeDup centroid refresh, shaped for map-side combine (posexplode →
+    partial sum per (label, dim); the exchange carries |labels|×|dims|
+    groups, never vectors). Sums stay exact integers (floor(x·10^6+0.5)
+    on the identical float32→double value both engines see); the caller
+    divides sum/n — integer division of possibly-negative sums is the
+    one op Spark (truncate) and DuckDB (floor) disagree on, so the
+    accumulator form IS the contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(
+                    F.col("x").cast("double") * 1000000 + F.lit(0.5)
+                ).cast("long")
+            ).alias("sum_e6"),
+        )
+        .orderBy(F.asc("label"), F.asc("dim"))
+    )
+
+
+@register(
+    "order_value_drift",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             LAG(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ) AS prev
+      FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas,
+           CAST(SUM(ABS(cents - prev)) AS BIGINT) AS drift_cents
+    FROM o WHERE prev IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY drift_cents DESC, o_custkey ASC LIMIT 100
+    """,
+)
+def order_value_drift(spark, sf_dir):
+    """Per-entity change-magnitude ranking: total absolute order-value
+    movement between a customer's consecutive orders (the CDC-adjacent
+    'how volatile is this key' profile that drives hot-key salting and
+    compaction priority). One user-keyed exchange feeds both the lag
+    window and the aggregation; top-100 via TakeOrderedAndProject.
+    Fixed-point cents before ABS/SUM keeps it bit-exact."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            cents.alias("cents"),
+            F.lag(cents).over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.sum(F.abs(F.col("cents") - F.col("prev"))).alias("drift_cents"),
+        )
+        .orderBy(F.desc("drift_cents"), F.asc("o_custkey"))
+        .limit(100)
     )
