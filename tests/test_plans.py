@@ -762,3 +762,40 @@ def test_edit_distance_join_is_blocked_equi(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_reservoir_sample_scan_local_topk(spark):
+    """reservoir_sample_hash: per-partition top-64 merged on the driver —
+    zero Exchange, TakeOrderedAndProject, never a global sort of the
+    corpus."""
+    plan = _plan(spark, "reservoir_sample_hash")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_order_value_drift_single_exchange(spark):
+    """order_value_drift: the customer-keyed exchange feeds BOTH the lag
+    window and the aggregation (one shuffle, not two), and the top-100 is
+    a TakeOrderedAndProject short-circuit."""
+    plan = _plan(spark, "order_value_drift")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_score_broadcasts_eval_grams(spark):
+    """contamination_overlap_score: the eval-slice gram set must
+    broadcast (benchmarks are tiny, the corpus is not) — a shuffled join
+    here would reshuffle every corpus gram."""
+    plan = _plan(spark, "contamination_overlap_score")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_partial_agg(spark):
+    """label_centroids_e6: the per-(label, dim) sum must partial-aggregate
+    below the exchange (vectors combine map-side; the exchange carries
+    group accumulators, not exploded elements)."""
+    plan = _plan(spark, "label_centroids_e6")
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") == 1
