@@ -16,7 +16,7 @@ shuffle-conscious:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from omicidx_etl_spark.functions.text import shingles_expr
@@ -107,6 +107,86 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def ngram_jaccard_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT near-dup pairs by word-n-gram Jaccard ≥ threshold via prefix
+    filtering (AllPairs / PPJoin — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — the scalable exact-join for HIGH thresholds, complementing
+    :func:`ngram_jaccard_pairs` (inverted index, any threshold, pair-
+    quadratic on overlap-dense corpora) and MinHash-LSH (approximate).
+
+    Plan: shingles get a canonical global order (document frequency
+    ascending, rarest first — ties by shingle); each doc indexes only its
+    PREFIX, the first ``sz - ceil(t·sz) + 1`` shingles in that order
+    (+1 safety against float ulp in ``ceil``). Prefix-filtering lemma
+    (PPJoin Lemma 1): any pair with Jaccard ≥ t shares at least one
+    shingle lying in BOTH prefixes, so the candidate join touches only
+    prefix postings — at t=0.7 that is ~30% of shingle rows, and the
+    ubiquitous stop-shingles (highest df) sort LAST and almost never
+    enter a prefix, killing the df² hot-shingle blowup without a cap.
+    Candidates pass the size filter (min ≥ t·max − ε) and are verified
+    exactly against the full sorted shingle arrays (``array_intersect``
+    on two bounded per-doc arrays — no second corpus shuffle; the arrays
+    travel only to candidate pairs). Output schema matches
+    ``ngram_jaccard_pairs``: (doc_a, doc_b, common, sz_a, sz_b, jaccard).
+
+    Shuffle census: 1 shingle-keyed exchange (df join), 1 doc-keyed
+    exchange (rank window), the prefix self-join exchange, and two
+    doc-keyed joins of CANDIDATE pairs against the per-doc arrays —
+    every stage keyed, nothing quadratic except verified candidates.
+    """
+    arr = F.array_sort(shingles_expr(F.col(text_col), n))
+    sets = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc"), arr.alias("ss"), F.size(arr).alias("sz")
+    )
+    sh = sets.select("doc", "sz", F.explode("ss").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc").orderBy(F.asc("dfreq"), F.asc("shingle"))
+    ranked = sh.join(dfreq, "shingle").withColumn("rnk", F.row_number().over(w))
+    # prefix length sz - ceil(t·sz) + 1, plus 1 ulp-safety (a too-LONG
+    # prefix only adds candidates; too short would lose pairs)
+    plen = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + F.lit(2)
+    prefix = ranked.filter(F.col("rnk") <= plen).select("doc", "sz", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.greatest(F.col("a.sz"), F.col("b.sz")) * F.lit(threshold)
+            - F.lit(1e-9)
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc").alias("doc_a"), F.col("ss").alias("ss_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("doc").alias("doc_b"), F.col("ss").alias("ss_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("ss_a", "ss_b")))
         .withColumn(
             "jaccard",
             F.round(

@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "fertility_by_lang",
     "label_centroids_e6",
     "order_value_drift",
+    "dedup_jaccard_prefix",
 ]
 
 
@@ -5284,3 +5285,37 @@ def order_value_drift(spark, sf_dir):
         .orderBy(F.desc("drift_cents"), F.asc("o_custkey"))
         .limit(100)
     )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_duck_shingles(3)}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.7
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard join (AllPairs/PPJoin) at the
+    high-threshold regime (t=0.7, word 3-grams) — same answer as the
+    naive all-shared-shingle join (the oracle computes exactly that), but
+    candidates come only from rarest-first PREFIX postings, so the hot
+    stop-shingles that make the inverted-index plan pair-quadratic never
+    generate pairs. See functions/dedup.py:ngram_jaccard_prefix for the
+    shuffle census. common is int (Spark array_intersect size) — cast to
+    long for the BIGINT oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = D.ngram_jaccard_prefix(d, "doc_id", n=3, threshold=0.7)
+    return out.withColumn("common", F.col("common").cast("long")).withColumn(
+        "sz_a", F.col("sz_a").cast("long")
+    ).withColumn("sz_b", F.col("sz_b").cast("long"))
