@@ -56,8 +56,20 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     (signatures, set sizes) is already co-located — no second shuffle.
     Locally it also breaks the one-small-parquet-file = one-task trap that
     would serialize the whole (interpreted, non-codegen) higher-order
-    shingle computation onto a single core."""
-    return df.repartition(F.col(id_col)).select(
+    shingle computation onto a single core.
+
+    The partition count is EXPLICIT (``compute_parallelism`` — cores-
+    derived, REPARTITION_BY_NUM): a by-column repartition is an
+    AQE-coalescible shuffle, and AQE sizes partitions by BYTES — a
+    document table of a few MB coalesces to ONE partition, serializing
+    the downstream explode + self-join + aggregation (work that is
+    quadratic per byte) onto a single core. Measured at sf0.1 before the
+    fix: the entire 73M-row shingle self-join of ``ngram_jaccard_pairs``
+    ran as one 21.6 s single-task stage."""
+    from omicidx_etl_spark.session import compute_parallelism
+
+    nparts = compute_parallelism(df.sparkSession)
+    return df.repartition(nparts, F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
     )
 
@@ -84,6 +96,8 @@ def ngram_jaccard_pairs(
     (≤ corpus_shingles/max_df can exceed it), so it broadcasts. Pass
     ``max_df=None`` for unfiltered Jaccard on pre-blocked candidates.
     """
+    from omicidx_etl_spark.session import compute_parallelism
+
     sh = _exploded_shingles(df, id_col, text_col, n)
     if max_df is not None:
         hot = (
@@ -94,8 +108,15 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Explicit-width shingle partitioning for the self-join: the ENSURE_
+    # REQUIREMENTS exchange AQE would insert is byte-coalescible, and the
+    # (doc, shingle) postings are tiny in bytes while the join output is
+    # Σ df² rows — byte-sized coalescing serializes the pair generation
+    # onto one core (see _exploded_shingles). One REPARTITION_BY_NUM
+    # exchange, planned once and reused for both sides of the self-join.
+    part = sh.repartition(compute_parallelism(df.sparkSession), "shingle")
+    a = part.alias("a")
+    b = part.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc") < F.col("b.doc"))
@@ -469,10 +490,11 @@ def connected_components(
     doc appearing in any pair; cluster_id is the lexicographic min doc_id
     of the component (deterministic canonical choice).
     """
+    prev_ckpt_dir: str | None = None
     if checkpoint_dir is not None:
         spark = pairs.sparkSession
-        prev = spark.sparkContext.getCheckpointDir()
-        if prev != checkpoint_dir:
+        prev_ckpt_dir = spark.sparkContext.getCheckpointDir()
+        if prev_ckpt_dir != checkpoint_dir:
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
@@ -482,54 +504,69 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = _ckpt(
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition("dst")  # each round's propagate joins on dst
-    )
+    try:
+        e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        edges = _ckpt(
+            e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition("dst")  # each round's propagate joins on dst
+        )
 
-    labels = _ckpt(
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("nmin"))
-        .select(F.col("src").alias("node"), F.least("src", "nmin").alias("label"))
-    )
+        labels = _ckpt(
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("nmin"))
+            .select(F.col("src").alias("node"), F.least("src", "nmin").alias("label"))
+        )
 
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"), "label"), "dst"
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("node").alias("dst"), "label"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+                .withColumnRenamed("src", "node")
             )
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("src", "node")
-        )
-        prop = labels.join(nbr, "node", "left").select(
-            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
-        )
-        # pointer jump: label <- min(label, label(label))
-        hop = prop.select(F.col("node").alias("label"), F.col("label").alias("plabel"))
-        new_labels = _ckpt(
-            prop.join(hop, "label", "left").select(
-                "node", F.least("label", F.coalesce("plabel", "label")).alias("label")
+            # carry the pre-round label through the checkpoint so the
+            # convergence test is a FILTER over the just-materialized
+            # round, not a second join-the-two-label-sets job per round
+            # (halves the per-round driver/job count; the filter count
+            # reads checkpointed blocks, no shuffle)
+            prop = labels.join(nbr, "node", "left").select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("__p"),
+                F.col("label").alias("__old"),
             )
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            # pointer jump: label <- min(label, label(label))
+            hop = prop.select(F.col("node").alias("__p"), F.col("__p").alias("__hl"))
+            new_labels = _ckpt(
+                prop.join(hop, "__p", "left").select(
+                    "node",
+                    F.least("__p", F.coalesce("__hl", "__p")).alias("label"),
+                    "__old",
+                )
+            )
+            changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
 
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    return labels.join(sizes, "label").select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        F.col("n").cast("long").alias("cluster_size"),
-        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
-    )
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        return labels.join(sizes, "label").select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("n").cast("long").alias("cluster_size"),
+            (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+        )
+    finally:
+        # ADVICE r5: don't leak the checkpoint-dir setting to unrelated
+        # checkpoint() users in a long-lived session. (Reliable checkpoint
+        # FILES are only auto-deleted with
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true — callers
+        # doing repeated clustering passes should point checkpoint_dir at
+        # a per-run scratch dir and remove it when the result is
+        # materialized.)
+        if prev_ckpt_dir is not None and prev_ckpt_dir != checkpoint_dir:
+            pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def span_dedup_stats(

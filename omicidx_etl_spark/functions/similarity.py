@@ -211,20 +211,36 @@ def pairwise_topk_per_label(
     """Embedding-cosine near-dup pairs within each label group — the
     grouped (blocked) self-join pattern: the cross product only forms inside
     a group, never globally."""
-    a = df.select(
+    from omicidx_etl_spark.session import compute_parallelism
+
+    # Hoist the per-vector norm out of the pair loop: ``cosine(a, b)``
+    # recomputes BOTH norms for every candidate pair (3 interpreted
+    # higher-order aggregates per pair); computing each row's norm once and
+    # dividing by the product leaves one dot product per pair. Same
+    # expression order (dot / (norm_a * norm_b)) on the same doubles —
+    # bit-identical at round(…, 6).
+    #
+    # Explicit-width repartition on the block key: the pairwise stage does
+    # O(|block|²·dims) work over a few MB of vectors — AQE's byte-sized
+    # coalescing would run it on one core (see session.compute_parallelism).
+    # Planned once, reused for both sides of the self-join.
+    base = df.select(
         F.col(label_col).alias("g"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-    )
-    b = df.select(
-        F.col(label_col).alias("g"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-    )
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2norm(F.col(vec_col)).alias("nrm"),
+    ).repartition(compute_parallelism(df.sparkSession), "g")
+    a = base.select("g", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                    F.col("nrm").alias("n_a"))
+    b = base.select("g", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    F.col("nrm").alias("n_b"))
     return (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("g", "id_a", "id_b", "cos_sim")
     )
@@ -249,13 +265,32 @@ def semantic_clusters(
     map-side); the argmax is ONE combinable ``max(struct)`` aggregation
     (partial max per vec_id map-side, no per-key window); the assignment
     joins back on the id. Output: ``df`` + ``cluster``."""
+    from omicidx_etl_spark.session import compute_parallelism
+
     cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        l2norm(F.col(vec_col)).alias("cnrm"),
     )
-    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("cos_c"),
-        F.col("cid"),
+    # norm hoisting (once per row / per centroid instead of per (row,
+    # centroid) pair — same dot/(nv*nc) expression order, bit-identical at
+    # round 6) + explicit-width repartition so the K-way fan-out's O(K·dims)
+    # per-row work never lands on one AQE-coalesced partition. The argmax
+    # groupBy(id) then REUSES this hash partitioning — no extra exchange.
+    scored = (
+        df.select(
+            id_col, vec_col, l2norm(F.col(vec_col)).alias("__nv")
+        )
+        .repartition(compute_parallelism(df.sparkSession), id_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("cvec")) / (F.col("__nv") * F.col("cnrm")),
+                6,
+            ).alias("cos_c"),
+            F.col("cid"),
+        )
     )
     asn = (
         scored.groupBy(id_col)

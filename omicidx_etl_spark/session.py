@@ -75,6 +75,29 @@ def get_spark(
     return spark
 
 
+def compute_parallelism(spark: SparkSession) -> int:
+    """Partition count for compute-dense, byte-light stages (shingle
+    explodes, pairwise similarity blocks): AQE's partition coalescing is
+    sized by shuffle BYTES, but these stages do work quadratic-ish in rows
+    per byte — a 1.5 MB exchange coalesces to one partition and the whole
+    join/aggregate runs on a single core (measured: dedup_ngram_jaccard
+    21.6 s CPU in ONE task at sf0.1; guide §2.2/§2.5 — partitioning must
+    be scale-adaptive, and byte-derived sizing is the wrong adaptivity for
+    compute-bound operators). An EXPLICIT partition count produces a
+    REPARTITION_BY_NUM exchange, which AQE never coalesces.
+
+    ``sparkContext.defaultParallelism`` is the scale-adaptive source: the
+    local core count under ``local[N]``, the cluster's total executor
+    cores under a real scheduler — no constant tuned to either.
+    ``SPARK_GRAFT_COMPUTE_PARTS`` overrides for deployments where the
+    compute-dense stages need more slices than cores (severe per-key
+    skew)."""
+    env = os.environ.get("SPARK_GRAFT_COMPUTE_PARTS")
+    if env:
+        return int(env)
+    return spark.sparkContext.defaultParallelism
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
