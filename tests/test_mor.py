@@ -211,3 +211,68 @@ def test_compact_sliced_and_size_bounded(spark, tmp_path):
     assert after == before
     one = next(iter(before))
     assert t.lookup([one]).count() == 1
+
+
+def test_read_reconcile_prefilter_vs_maxby(spark, tmp_path, monkeypatch):
+    """r6 optimization: the MOR read picks its reconciliation plan from
+    manifest metadata — 'prefilter' (narrow winner agg + broadcast join)
+    when every dirty group has disjoint __seq bounds + row counts under the
+    broadcast gate, 'max_by' otherwise — and BOTH must return the same
+    rows. A re-delivered event (same (key, seq) staged in a second delta)
+    makes the seq ranges overlap and MUST force the max_by fallback, or
+    the join would emit the row twice."""
+    from omicidx_etl_spark.cdc import dedup_latest
+    from omicidx_etl_spark.lake import table as TBL
+    from tests.test_lake import SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2)
+    t.overwrite(datagen.gen_sequences(spark, 300, seed=41), app_id="a", batch_id=0)
+    ch = datagen.gen_changes(spark, 2000, 300, seed=42)
+    t.merge(dedup_latest(ch.filter(F.col("seq") <= 1000)), mode="mor",
+            app_id="a", batch_id=1)
+    t.merge(dedup_latest(ch.filter(F.col("seq") > 1000)), mode="mor",
+            app_id="a", batch_id=2)
+
+    got_pref = t.read().orderBy("doc_id").collect()
+    assert t.last_reconcile == "prefilter"  # disjoint deltas, small table
+
+    # force the fallback via the broadcast row gate; rows must be identical
+    monkeypatch.setattr(TBL, "PREFILTER_READ_ROWS", 0)
+    got_maxby = t.read().orderBy("doc_id").collect()
+    assert t.last_reconcile == "max_by"
+    assert got_pref == got_maxby
+    monkeypatch.undo()
+
+    # re-deliver one already-applied event: same (doc_id, seq) lands in a
+    # THIRD delta whose seq span overlaps the earlier ones
+    dup = ch.filter(F.col("seq") == 500)
+    assert dup.count() == 1
+    t.merge(dedup_latest(dup), mode="mor", app_id="a", batch_id=3)
+    got_dup = t.read().orderBy("doc_id").collect()
+    assert t.last_reconcile == "max_by"  # overlap detected -> safe plan
+    assert got_dup == got_pref  # re-delivery is a per-row no-op
+    # and no duplicate keys survived reconciliation
+    ids = [r.doc_id for r in got_dup]
+    assert len(ids) == len(set(ids))
+
+
+def test_read_prefilter_plan_shuffles_keys_not_payloads(spark, tmp_path):
+    """The prefilter read's only hash exchange must carry the narrow
+    (key, __seq) winner aggregation — the wide payload crosses no
+    exchange (guide §2.3: shuffle keys and metadata, not payloads)."""
+    from omicidx_etl_spark.cdc import dedup_latest
+    from tests.test_lake import SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id", n_buckets=2)
+    t.overwrite(datagen.gen_sequences(spark, 200, seed=51), app_id="a", batch_id=0)
+    t.merge(dedup_latest(datagen.gen_changes(spark, 800, 200, seed=52)),
+            mode="mor", app_id="a", batch_id=1)
+    df = t.read()
+    assert t.last_reconcile == "prefilter"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    wide_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "tokens" in l
+    ]
+    assert wide_exchanges == [], wide_exchanges
