@@ -498,11 +498,20 @@ def connected_components(
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
+            # reliable checkpoints stay EAGER: a lazy reliable checkpoint
+            # recomputes the plan a second time to write the files
             return df.checkpoint(eager=True)
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            # LAZY on purpose: each round's convergence count is the first
+            # action on the round's frame, so it materializes the local
+            # checkpoint as a side effect — one Spark job per round instead
+            # of two (localCheckpoint persists the blocks computed by that
+            # same action; nothing is recomputed). At bench scale the
+            # iteration is job-latency-bound, so halving the job count
+            # halves the loop cost.
+            return df.localCheckpoint(eager=False)
 
     try:
         e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
