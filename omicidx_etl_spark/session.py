@@ -22,6 +22,35 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _mem_gib(mem: str) -> float:
+    """Parse a JVM memory string ('48g', '512m') to GiB; 0.0 if unparseable."""
+    try:
+        unit = mem[-1].lower()
+        val = float(mem[:-1])
+    except (ValueError, IndexError):
+        return 0.0
+    return {"g": val, "m": val / 1024, "k": val / (1024 * 1024), "t": val * 1024}.get(unit, 0.0)
+
+
+def _default_driver_opts(mem: str) -> str:
+    """ParallelGC (see inline note at the config site) plus a BOUNDED young
+    gen on large heaps: ParallelGC's adaptive sizing grows the young gen
+    toward heap/3 (16 GiB on the 48 GiB local driver), and 32-thread
+    stop-the-world scavenges over a young gen that big pause every running
+    task — measured on the bench-shaped 2M-event replay (r6): GC 9.8 s of a
+    26.5 s wall with adaptive sizing, 3.2 s of 17.1 s with -Xmn4g, and the
+    run-to-run spread collapses because the pause cadence stops drifting.
+    A fixed LARGE young gen is the anti-optimization (-Xmn16g measured
+    29.1 s / 11.0 s GC). Skipped on heaps < 16 GiB where -Xmn4g would
+    starve the old gen (adaptive sizing behaves at that scale; measured
+    24 GiB heap ~ Xmn4g within noise). ``SPARK_DRIVER_JAVA_OPTS``
+    overrides wholesale."""
+    base = "-XX:+UseParallelGC"
+    if _mem_gib(mem) >= 16:
+        return base + " -Xmn4g"
+    return base
+
+
 def get_spark(
     app_name: str = "omicidx-etl-spark",
     master: str | None = None,
@@ -53,6 +82,30 @@ def get_spark(
         # --- IO ---
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Vectorized-reader batch rows (default 4096): the engine's rows
+        # carry kB-scale token arrays, so a 4096-row column batch is tens of
+        # MB of short-lived large arrays per task — at 32 concurrent tasks
+        # that allocation churn was the top GC driver of the replay's wide
+        # scan (measured r6, 2M-event replay: halving to 2048 cut GC
+        # 9.8 -> ~3.4 s and wall 26.5 -> ~18 s). Narrow-row tables see no
+        # measurable cost (batch count doubles but per-batch work halves).
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_PQ_BATCH", "2048"),
+        )
+        # Shuffle-payload compression: OFF by default, measured — the
+        # engine's dominant shuffle payload (token arrays, embeddings,
+        # md5 hex) is high-entropy; lz4 on the replay's winner shuffle
+        # achieved 1.09x (2948 MB vs 3228 MB raw) while costing 17% wall
+        # and a third of the GC (22.1 vs 26.5 s measured r6). On a
+        # network cluster with compressible payloads set
+        # SPARK_GRAFT_SHUFFLE_COMPRESS=true (wire bytes then dominate);
+        # for this engine's payload profile even 25 GbE saves only ~9%
+        # wire for real CPU.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
         # local mode: keep the UI off and the JVM quiet
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
@@ -63,7 +116,10 @@ def get_spark(
         # collector is the right choice for this allocation profile.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                _default_driver_opts(os.environ.get("SPARK_DRIVER_MEM", "48g")),
+            ),
         )
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
