@@ -117,10 +117,22 @@ def ngram_jaccard_pairs(
     part = sh.repartition(compute_parallelism(df.sparkSession), "shingle")
     a = part.alias("a")
     b = part.alias("b")
+    # Explicit group-key exchange BEFORE the pair count: the join's output
+    # groups are scattered across shingle-partitioned output, so Spark's
+    # map-side partial aggregation achieves nothing here (measured at
+    # sf0.1: 34.2M rows in -> 34.19M partial rows out, a 0.03% reduction)
+    # while probing a ~10M-entry hash map per task in the join stage —
+    # guide §2.3 in reverse: when partial aggregation cannot reduce, it is
+    # pure map-side cost. Repartitioning by the pair key shuffles the SAME
+    # row count the useless partial shuffle carried, and the (now
+    # post-shuffle) aggregation runs over clustered rows. Measured: pair
+    # stage 2.77 -> 2.11 s warm at sf0.1.
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .repartition(compute_parallelism(df.sparkSession), "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -515,8 +527,22 @@ def connected_components(
 
     try:
         e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        # Symmetrize with ONE explode, not a self-union: a union's two
+        # branches are independent subtrees of the same plan, so the
+        # (potentially expensive) upstream candidate-pair computation (LSH
+        # band self-join + distinct) ran TWICE in the edges job — measured
+        # at sf0.1 as a 64-task stage (2 x 32), each half re-running the
+        # full band join. The explode mirrors each pair row map-side over a
+        # single computation of the pair plan.
+        mirror = F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        )
         edges = _ckpt(
-            e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            e.select(mirror.alias("__e"))
+            .select("__e.src", "__e.dst")
             .repartition("dst")  # each round's propagate joins on dst
         )
 
@@ -611,13 +637,28 @@ def span_dedup_stats(
         ),
     )
     s = base.select(id_col, F.explode(spans).alias("h"))
-    g = s.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    # Monotonically-SHRINKING aggregation chain (guide §2.3: aggregate
+    # before you shuffle) instead of joining per-hash doc counts back to
+    # the full exploded span set: (1) collapse spans to distinct
+    # (hash, doc) with multiplicity — map-side combinable, the only
+    # exchange that carries exploded volume; (2) nd = docs-per-hash as a
+    # count window over the DISTINCT pairs (== countDistinct(doc) per
+    # hash, since pairs are unique); (3) per-doc totals weight each pair
+    # by its multiplicity. The previous shape aggregated the hash counts
+    # separately and joined them back to every exploded span row — one
+    # more scan+explode of the corpus and a join whose probe side is the
+    # full span set (broadcast locally, a second exploded-volume shuffle
+    # at corpus scale where the per-hash count table outgrows broadcast).
+    pc = s.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("__c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        s.join(g, "h")
+        pc.withColumn("__nd", nd)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("dup_spans"),
+            F.sum("__c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("__nd") > 1, F.col("__c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_spans"),
         )
         .withColumn(
             "dup_frac_e4",
