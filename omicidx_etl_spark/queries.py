@@ -44,38 +44,67 @@ def register(name: str, oracle: str | None):
 # are still checked locally by tests/test_oracle_parity.py and
 # scripts/sf1_parity.py regardless of order).
 _DRIVER_PRIORITY: list[str] = [
-    # r5: the 15 registry entries with no driver CORRECTNESS row in r1-r4
-    # (VERDICT r4 "Next round" #1) — fronted so the cumulative driver-green
-    # set reaches 115/115.
-    "bitmap_daily_activity",
-    "cumulative_distinct_users",
-    "first_touch_attribution",
-    "forward_fill_daily",
-    "gini_concentration",
-    "grouping_sets_census",
-    "mad_anomalies",
-    "mode_per_group",
-    "name_edit_distance_pairs",
-    "order_concurrency_peak",
-    "pareto_frontier",
-    "rrf_rank_fusion",
-    "time_weighted_avg",
-    "vocab_containment",
-    "weighted_sample_orders",
-    # r5 new additions (never driver-seen) — names must be appended here too,
-    # or they land after all 100 existing registry entries and miss the
-    # driver's 50-row window.
-    "reservoir_sample_hash",
-    "heavy_hitters_tokens",
-    "doc_length_log2_histogram",
-    "sources_by_lang",
-    "ttr_by_source",
-    "boilerplate_prefix_dup",
-    "contamination_overlap_score",
-    "fertility_by_lang",
-    "label_centroids_e6",
-    "order_value_drift",
-    "dedup_jaccard_prefix",
+    # r6: every registry entry has a cumulative driver-green row (126/126
+    # after r5), so the window rotates to the entries whose green row is
+    # OLDEST (VERDICT r5 "Next round" #2: keep the driver window honest —
+    # the code under several has evolved since r1-r3). Order: the one r2
+    # survivor, then the 25 r3-cohort names, then the alphabetically-first
+    # 24 of the r4 cohort; computed by intersecting CORRECTNESS_r01-r05
+    # hash_match rows against the registry. All 126 stay locally checked
+    # every run by tests/test_oracle_parity.py and scripts/sf1_parity.py
+    # regardless of this order.
+    "token_normalize",          # r2 — stalest driver row in the registry
+    # r3 cohort (25)
+    "anonymize_ids",
+    "chunk_documents",
+    "curation_pipeline",
+    "decontaminate_ngram",
+    "dedup_cluster_cc",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "f10_content_hash",
+    "f6_nested_access",
+    "f_scalar_pack",
+    "json_props_extract",
+    "lang_id",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "quality_repetition",
+    "stratified_sample",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "top_tokens",
+    "u1_union_discriminated",
+    "u2_concat_dedup",
+    "u3_set_difference",
+    # r4 cohort (first 24 alphabetically)
+    "agg_rollup_census",
+    "ann_cosine_topk",
+    "ann_ivf_indexed",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join_latest_price",
+    "bm25_topk_docs",
+    "cube_lang_source",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_simhash_near",
+    "diversity_by_source",
+    "embedding_norms",
+    "event_transitions_topk",
+    "first_last_per_user",
+    "funnel_conversion",
+    "gaps_islands",
+    "grouped_sample_topk_hash",
+    "histogram_prices",
+    "hopping_window_counts",
+    "inverted_index_postings",
+    "jaccard_source_vocab",
 ]
 
 
