@@ -395,7 +395,12 @@ def replay_log(
         lo, up = b * chunk_events, (b + 1) * chunk_events
         if segs is not None:
             paths = [p for p, slo, shi in segs if shi > lo and slo <= up]
-            src = spark.read.parquet(*paths) if paths else log
+            # explicit schema: a bare read triggers a per-batch schema-
+            # inference job (driver footer read + 1-task Spark job) —
+            # the log's schema is already known from the full-dir read
+            src = (
+                spark.read.schema(log.schema).parquet(*paths) if paths else log
+            )
         else:
             src = log
         batch = src.filter((F.col(seq) > lo) & (F.col(seq) <= up))

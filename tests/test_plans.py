@@ -799,3 +799,46 @@ def test_label_centroids_partial_agg(spark):
     plan = _plan(spark, "label_centroids_e6")
     assert "partial_sum" in plan or "partial" in plan.lower()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucket_remap_one_bucket_per_write_task(spark):
+    """Staged writes partition on a remapped bucket value so every bucket
+    lands in its OWN shuffle partition: plain repartition(nb, bucket)
+    hash-partitions nb distinct ids into nb partitions and stacks 2-3
+    buckets per task while leaving ~nb/e empty (guide §2.5) — measured as
+    a 3x write-stage straggler on the MOR delta path. The remap must (a)
+    replicate Spark's hash exactly and (b) yield a perfect 1:1 placement."""
+    from pyspark.sql import functions as F
+
+    from omicidx_etl_spark.lake.table import (
+        BUCKET_COL,
+        _bucket_partition_col,
+        _bucket_remap,
+        _murmur3_int32,
+    )
+
+    # replica == F.hash for int32 (spot-check a range incl. negatives)
+    vals = list(range(-50, 250))
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select(F.hash("v").alias("h"))
+        .collect()
+    )
+    assert [r.h for r in got] == [_murmur3_int32(v) for v in vals]
+
+    # remap covers all n partitions, for several bucket counts
+    for n in (1, 2, 8, 32, 200):
+        assert len({_murmur3_int32(v) % n for v in _bucket_remap(n)}) == n
+
+    # end-to-end: one bucket per shuffle partition after the repartition
+    nb = 32
+    data = spark.range(0, 20000).select((F.col("id") % nb).cast("int").alias(BUCKET_COL))
+    placed = (
+        data.repartition(nb, _bucket_partition_col(F.col(BUCKET_COL), nb))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct(BUCKET_COL).alias("nb"))
+        .collect()
+    )
+    assert len(placed) == nb
+    assert max(r.nb for r in placed) == 1
