@@ -1352,10 +1352,35 @@ class LakeTable:
             # one file per bucket with no second exchange. Default keeps the
             # clustered one-file-per-bucket layout via the merge's own
             # shuffle.
-            rel = self._stage_write(
-                delta, new_sid, nb, shuffle=not (fanout or pre_bucketed),
-                codec=DELTA_CODEC,
+            # AQE has nothing to offer this plan — the join is an explicit
+            # broadcast (no strategy to revise), the only shuffle is the
+            # REPARTITION_BY_NUM bucket exchange (AQE never coalesces it,
+            # and skew-splitting applies only to joins) — while its
+            # stage-by-stage materialization turns the single write action
+            # into map-job + replan + write-job with a driver gap between
+            # (measured ~0.25 s/batch on the 2M-event replay: 19.1 vs
+            # 20.1 s with AQE on, clean-steal A/B). Scoped OFF for just
+            # this action and restored; reads, COW merges and compaction
+            # keep AQE (skew splitting / coalescing matter there).
+            # SPARK_GRAFT_MOR_WRITE_AQE=1 reverts. The engine submits no
+            # concurrent Spark jobs, so the session-conf flip cannot leak
+            # into a sibling query's planning.
+            sess_conf = self.spark.conf
+            prev_aqe = sess_conf.get("spark.sql.adaptive.enabled", "true")
+            flip_aqe = (
+                os.environ.get("SPARK_GRAFT_MOR_WRITE_AQE", "0") != "1"
+                and str(prev_aqe).lower() == "true"
             )
+            try:
+                if flip_aqe:
+                    sess_conf.set("spark.sql.adaptive.enabled", "false")
+                rel = self._stage_write(
+                    delta, new_sid, nb, shuffle=not (fanout or pre_bucketed),
+                    codec=DELTA_CODEC,
+                )
+            finally:
+                if flip_aqe:
+                    sess_conf.set("spark.sql.adaptive.enabled", prev_aqe)
             # zero-row batch (e.g. a merge_into where no clause fired):
             # nothing was staged, and the Observation row is empty/absent
             # because AQE collapses the empty write plan — don't fetch it
