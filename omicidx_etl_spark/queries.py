@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from omicidx_etl_spark.functions import dedup as D
 from omicidx_etl_spark.functions import multimodal as M
@@ -122,8 +123,26 @@ def oracle_sql() -> dict[str, str]:
     return {k: _REGISTRY[k][1] for k in _ordered_names() if _REGISTRY[k][1] is not None}
 
 
+# Parquet schema cache for the benchmark tables, keyed per SparkContext +
+# path. Schema INFERENCE is driver-side footer IO + a JVM round trip on
+# every read call (~60-85 ms/table measured, guide §5: the driver should
+# do almost no data work); a query joining six tables paid it six times
+# per build. The benchmark tables are immutable, so the first read's
+# schema is authoritative for the rest of the process; an explicit-schema
+# read lists files but skips inference. Not a result cache — every query
+# still scans the parquet data.
+_SCHEMA_CACHE: dict[tuple[int, str], T.StructType] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark.sparkContext), path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _cents(col) -> F.Column:
