@@ -53,6 +53,19 @@ def list_drops_full(feed_dir: str) -> "list[tuple[int, int | None, str]]":
     return sorted(out, key=lambda t: (t[0], t[1] is not None, t[1] or -1))
 
 
+def _has_files(snap: "dict[str, Any]") -> bool:
+    """Manifest-only check (no scan) for 'could this table hold rows':
+    any bucket with a base or delta entry. A freshly created table has
+    none, so the common bootstrap-into-empty apply skips the
+    snapshot-replace anti-join entirely."""
+    from omicidx_etl_spark.lake.table import _norm_entry
+
+    return any(
+        (lambda n: n["base"] or n["deltas"])(_norm_entry(e))
+        for e in (snap.get("buckets") or {}).values()
+    )
+
+
 def apply_feed(
     table: LakeTable,
     feed_dir: str,
@@ -110,6 +123,33 @@ def apply_feed(
                 if c not in ("_change_type", "_seq", "_before")
             ],
         )
+        is_bootstrap = from_sid is None or from_sid == 0
+        if is_bootstrap and _has_files(table.snapshot()):
+            # Snapshot-REPLACE semantics for a bootstrap landing on a
+            # consumer that already holds state (ADVICE r5): a full-state
+            # drop applied as upsert-only merge cannot remove keys deleted
+            # upstream between this consumer's watermark and the bootstrap
+            # sid — ghost rows would survive silently. Tombstone every
+            # live consumer key ABSENT from the bootstrap, folded into the
+            # SAME merge commit (one (app_id, to_sid) watermark entry, so
+            # exactly-once is unchanged). Each tombstone carries
+            # seq = stored __seq + 1: it beats the stored row, and any
+            # legitimate later re-insert still wins, because a re-insert's
+            # source seq exceeds the upstream delete's seq, which exceeds
+            # everything this consumer ever stored for the key
+            # (s > d > c ⇒ s ≥ c + 2 > c + 1).
+            key = table.key
+            stale = (
+                table.read(include_system=True)
+                .select(F.col(key), F.col("__seq"))
+                .join(batch.select(key).distinct(), key, "left_anti")
+                .select(
+                    F.lit("D").alias("op"),
+                    (F.col("__seq") + 1).cast("long").alias("seq"),
+                    F.col(key),
+                )
+            )
+            batch = batch.unionByName(stale, allowMissingColumns=True)
         commit = table.merge(batch, app_id=app_id, batch_id=to_sid, mode=mode)
         summ = commit.get("summary") or {}
         results.append(

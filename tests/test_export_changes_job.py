@@ -232,3 +232,96 @@ def test_zero_row_interval_exports_and_applies(spark, tmp_path, monkeypatch, cap
     a = sorted(r["doc_id"] for r in src.read().collect())
     b = sorted(r["doc_id"] for r in dst.read().collect())
     assert a == b
+
+
+def test_bootstrap_over_stale_consumer_removes_ghost_rows(spark, tmp_path):
+    """ADVICE r5 (medium): a full-state bootstrap drop applied over a
+    consumer that already holds OLDER state (re-subscription after a lost
+    incremental drop) must behave as snapshot-REPLACE: keys deleted
+    upstream between the consumer's watermark and the bootstrap sid must
+    not survive as ghost rows. A later legitimate re-insert (source seq
+    above the upstream delete seq) must still win over the synthesized
+    tombstone."""
+    from omicidx_etl_spark.cdc import apply_feed
+    from omicidx_etl_spark.sources.io import write_ndjson_gz
+    from pyspark.sql import functions as F
+
+    src_root = str(tmp_path / "s5")
+    feed = str(tmp_path / "feed5")
+    ch = datagen.gen_changes(spark, 900, 60, seed=13)
+    schema = ch.drop("seq", "op", "event_ts").schema
+    src = LakeTable.create(spark, src_root, schema, key="doc_id", n_buckets=4)
+
+    def bootstrap_df():
+        live = src.read(include_system=True)
+        return live.select(
+            *[f.name for f in schema.fields],
+            F.lit("upsert").alias("_change_type"),
+            F.col("__seq").alias("_seq"),
+        )
+
+    def write_drop(df, name, frm, to):
+        drop = os.path.join(feed, name)
+        write_ndjson_gz(df, drop)
+        with open(os.path.join(drop, "_DONE"), "w") as f:
+            f.write(json.dumps({"from_sid": frm, "to_sid": to}))
+
+    # epoch 1: consumer bootstraps from the first snapshot
+    src.merge(dedup_latest(ch.filter("seq < 450").drop("event_ts")))
+    s1 = src.snapshot()["snapshot_id"]
+    write_drop(bootstrap_df(), f"interval-begin-{s1}", None, s1)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "d5"), schema, key="doc_id", n_buckets=8
+    )
+    assert [r["applied"] for r in apply_feed(dst, feed)] == [True]
+
+    # upstream: delete one live key and update the rest; the incremental
+    # drop for this interval is LOST — only a fresh bootstrap arrives
+    victim = src.read().select("doc_id").first()["doc_id"]
+    upd = dedup_latest(ch.filter("seq >= 450").drop("event_ts"))
+    kill = upd.limit(0).unionByName(
+        spark.createDataFrame(
+            [(victim,)], "doc_id string"
+        ).select(
+            F.lit(901).cast("long").alias("seq"),
+            F.lit("D").alias("op"),
+            "doc_id",
+            F.lit(None).cast("array<int>").alias("tokens"),
+            F.lit(None).cast("int").alias("n_tok"),
+            F.lit(None).cast("string").alias("source"),
+        )
+    )
+    src.merge(dedup_latest(upd.filter(F.col("doc_id") != victim).unionByName(kill)))
+    s2 = src.snapshot()["snapshot_id"]
+    write_drop(bootstrap_df(), f"interval-begin-{s2}", None, s2)
+
+    out = apply_feed(dst, feed)
+    assert [r["applied"] for r in out] == [False, True]
+    assert dst.read().filter(F.col("doc_id") == victim).count() == 0  # no ghost
+    a = sorted((r["doc_id"], r["n_tok"]) for r in src.read().collect())
+    b = sorted((r["doc_id"], r["n_tok"]) for r in dst.read().collect())
+    assert a == b and a
+
+    # re-insert the victim upstream at a higher source seq; incremental
+    # drop must beat the synthesized tombstone on the consumer
+    reins = kill.select(
+        F.lit(950).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        "doc_id",
+        F.expr("array(1,2,3)").alias("tokens"),
+        F.lit(3).alias("n_tok"),
+        F.lit("reins").alias("source"),
+    )
+    src.merge(reins)
+    s3 = src.snapshot()["snapshot_id"]
+    write_drop(
+        reins.select(
+            "doc_id", "tokens", "n_tok", "source",
+            F.lit("upsert").alias("_change_type"),
+            F.col("seq").alias("_seq"),
+        ),
+        f"interval-{s2}-{s3}", s2, s3,
+    )
+    out = apply_feed(dst, feed)
+    assert out[-1]["applied"] is True
+    assert dst.read().filter(F.col("doc_id") == victim).count() == 1
