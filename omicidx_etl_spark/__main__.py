@@ -53,7 +53,19 @@ def main(argv: "list[str] | None" = None) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)
-    mod = importlib.import_module(f"jobs.{JOBS[cmd][0]}")
+    try:
+        mod = importlib.import_module(f"jobs.{JOBS[cmd][0]}")
+    except ModuleNotFoundError as e:
+        # pip-installed package without the repo checkout: jobs/ is not a
+        # sibling of the package dir — say so instead of a raw traceback
+        print(
+            f"cannot load job {cmd!r}: {e}\n"
+            f"the job runners live in the repo's jobs/ directory "
+            f"(looked next to {repo}); run from a repo checkout or submit "
+            f"the job file directly via spark-submit",
+            file=sys.stderr,
+        )
+        return 2
     sys.argv = [f"{cmd}_job.py", *rest]
     try:
         rc = mod.main()

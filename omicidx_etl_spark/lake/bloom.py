@@ -110,17 +110,21 @@ def build_blooms(
                 },
             )
             built += 1
+    d = prune_blooms(table, detail=True)
     return {
         "built": built,
         "existing": existing,
-        "pruned": prune_blooms(table),
+        "pruned": d["pruned"],
+        "tmp_removed": d["tmp_removed"],
     }
 
 
 TMP_GRACE_SEC = 3600.0
 
 
-def prune_blooms(table, tmp_grace_sec: float = TMP_GRACE_SEC) -> int:
+def prune_blooms(
+    table, tmp_grace_sec: float = TMP_GRACE_SEC, *, detail: bool = False
+) -> "int | dict[str, int]":
     """Delete sidecars whose data dir is gone (expired/compacted-away).
     Safe by construction: a sidecar names its dir; a dir that no longer
     exists can never be scanned, so its sidecar is dead weight. Sidecars
@@ -128,13 +132,20 @@ def prune_blooms(table, tmp_grace_sec: float = TMP_GRACE_SEC) -> int:
     dirs_to_skip would never trust them anyway. Orphaned ``.tmp-*`` files
     from a crashed ``atomic_write_json`` are deleted once older than
     ``tmp_grace_sec`` (the grace period protects a concurrent in-flight
-    write; without the sweep they would accumulate forever)."""
+    write; without the sweep they would accumulate forever).
+
+    Returns the count of SIDECARS pruned (the number auto-maintain's
+    action accounting understands); tmp-orphan deletions are tracked
+    separately — pass ``detail=True`` for
+    ``{"pruned": sidecars, "tmp_removed": orphans}`` (ADVICE r5: the two
+    were previously conflated in one counter)."""
     import time
 
     bdir = os.path.join(table.root, BLOOM_SUBDIR)
     if not os.path.isdir(bdir):
-        return 0
+        return {"pruned": 0, "tmp_removed": 0} if detail else 0
     pruned = 0
+    tmp_removed = 0
     now = time.time()
     for name in os.listdir(bdir):
         if name.endswith(".tmp") or ".tmp-" in name:
@@ -142,7 +153,7 @@ def prune_blooms(table, tmp_grace_sec: float = TMP_GRACE_SEC) -> int:
             try:
                 if now - os.path.getmtime(path) > tmp_grace_sec:
                     os.remove(path)
-                    pruned += 1
+                    tmp_removed += 1
             except OSError:
                 pass
             continue
@@ -158,7 +169,7 @@ def prune_blooms(table, tmp_grace_sec: float = TMP_GRACE_SEC) -> int:
                 pruned += 1
             except OSError:
                 pass
-    return pruned
+    return {"pruned": pruned, "tmp_removed": tmp_removed} if detail else pruned
 
 
 def _load_meta(root: str, rel_dir: str) -> "dict[str, Any] | None":

@@ -167,8 +167,10 @@ def test_orphan_tmp_files_pruned_after_grace(table):
     dirs = [r["dir"] for r in rows]
     assert len(dirs) == len(set(dirs)), "tmp file surfaced as duplicate sidecar"
 
-    pruned = prune_blooms(table)
-    assert pruned >= 1
+    res = prune_blooms(table, detail=True)
+    # tmp orphans are tracked separately from sidecar prunes (ADVICE r5):
+    # only the stale tmp was removed here, no sidecar died
+    assert res["tmp_removed"] >= 1 and res["pruned"] == 0
     assert not _os.path.exists(stale), "stale tmp orphan not cleaned"
     assert _os.path.exists(fresh), "fresh (in-flight) tmp must survive grace"
     # zero-grace sweep removes the fresh one too
